@@ -1,0 +1,321 @@
+"""Structured spectral-element mesh generation (box and Kershaw meshes).
+
+The reference reads per-rank Nek5000-exported binaries
+(/root/reference/domain.tpp:44-231: size, x/y/z, glo_num, node_degree,
+p_mask, g_1..g_6). Those meshes are external data we do not have, so this
+module *generates* the same nine per-element arrays from scratch for
+tensor-product box meshes, optionally warped by the standard Kershaw
+transformation (the reference's benchmark family, run.py:24-37).
+
+Everything here is host-side float64 numpy; device conversion happens in
+the solver setup.
+
+Local intra-element ordering matches the reference: arrays are stored
+(..., n_z, n_y, n_x) so that raveling gives ``v = i + j*n + k*n^2`` with
+the x-index fastest (domain.okl:17-18, 32-34).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..utils.gll import gll_points_weights, diff_matrix
+
+__all__ = ["GlobalMesh", "box_mesh", "kershaw_mesh", "geometric_factors"]
+
+
+@dataclass
+class GlobalMesh:
+    """A complete spectral-element mesh, all elements, one address space.
+
+    Per-element arrays use local ordering v = i + j*n (+ k*n^2), x fastest.
+    ``geom`` holds the g_1..g_{3 or 6} factors of the reference
+    (element.hpp:42, NUM_GEOM_FACTS): in 2D [G_rr, G_ss, G_rs], in 3D
+    [G_rr, G_ss, G_tt, G_rs, G_rt, G_st], with GLL quadrature weights and
+    |J| folded in, exactly as consumed by the stiffness kernels
+    (domain.okl:29-49).
+    """
+
+    dim: int
+    poly_degree: int
+    elem_shape: tuple[int, ...]       # elements per dimension (mx, my[, mz])
+    coords: np.ndarray                # (E, npe, dim) nodal coordinates
+    glo_num: np.ndarray               # (E, npe) int64 global node ids, 0-based
+    node_degree: np.ndarray           # (E, npe) int32 global multiplicity
+    dirichlet_mask: np.ndarray        # (E, npe) float, 0.0 on Dirichlet boundary
+    geom: np.ndarray                  # (E, npe, num_geom) geometric factors
+    mass: np.ndarray                  # (E, npe) diagonal GLL mass w * |J|
+
+    @property
+    def num_elements(self) -> int:
+        return self.coords.shape[0]
+
+    @property
+    def num_points_per_elem(self) -> int:
+        return self.coords.shape[1]
+
+    @property
+    def num_points(self) -> int:
+        return self.coords.shape[0] * self.coords.shape[1]
+
+    @property
+    def num_nodes(self) -> int:
+        return int(self.glo_num.max()) + 1
+
+    @property
+    def num_geom(self) -> int:
+        return self.geom.shape[-1]
+
+
+def _reference_coords(elem_shape, poly_degree):
+    """Unit-box nodal coordinates and global numbering for a structured mesh.
+
+    Returns (coords_axes, glo_num) where coords_axes is a list of per-dim
+    (E, n_z, n_y, n_x)-shaped nodal coordinates in [0, 1].
+    """
+    dim = len(elem_shape)
+    n = poly_degree + 1
+    r, _ = gll_points_weights(n)
+    t = (r + 1.0) / 2.0  # GLL nodes mapped to [0, 1]
+
+    # per-dimension 1-D nodal positions for every element column
+    axes_1d = []
+    for m in elem_shape:
+        # (m, n): axis position of node i of element e
+        axes_1d.append((np.arange(m)[:, None] + t[None, :]) / m)
+
+    # per-dimension global 1-D node index (shared at element interfaces)
+    gidx_1d = [np.arange(m)[:, None] * poly_degree + np.arange(n)[None, :]
+               for m in elem_shape]
+    gdims = [m * poly_degree + 1 for m in elem_shape]
+
+    elem_grid = np.meshgrid(*[np.arange(m) for m in elem_shape], indexing="ij")
+    # element ordering: x fastest (ex + ey*mx + ez*mx*my), like a row-major
+    # ravel of (ez, ey, ex)
+    elem_multi = [g.ravel() for g in elem_grid]  # index per dim, ij order
+
+    E = int(np.prod(elem_shape))
+    shape_local = (n,) * dim  # (n_z, n_y, n_x) storage order
+
+    coords_axes = [np.empty((E,) + shape_local) for _ in range(dim)]
+    glo_num = np.empty((E,) + shape_local, dtype=np.int64)
+
+    # build with broadcasting: for dim d, local axis position in storage
+    # order is axis (dim-1-d): x varies along the last storage axis.
+    for d in range(dim):
+        ax = axes_1d[d]  # (m_d, n)
+        per_elem = ax[elem_multi[d]]  # (E, n)
+        shp = [1] * dim
+        shp[dim - 1 - d] = n
+        coords_axes[d][:] = per_elem.reshape((E,) + tuple(shp))
+
+    g_parts = []
+    stride = 1
+    for d in range(dim):
+        gi = gidx_1d[d][elem_multi[d]]  # (E, n) global 1-D index along dim d
+        shp = [1] * dim
+        shp[dim - 1 - d] = n
+        g_parts.append(gi.reshape((E,) + tuple(shp)) * stride)
+        stride *= gdims[d]
+    glo_num[:] = sum(g_parts)
+
+    return coords_axes, glo_num, gdims
+
+
+def _kershaw_right(eps, x):
+    return np.where(x <= 0.5, (2.0 - eps) * x, 1.0 + eps * (x - 1.0))
+
+
+def _kershaw_left(eps, x):
+    return 1.0 - _kershaw_right(eps, 1.0 - x)
+
+
+def _kershaw_step(a, b, x):
+    x = np.clip(x, 0.0, 1.0)
+    s = x * x * x * (x * (6.0 * x - 15.0) + 10.0)  # smootherstep
+    return a + (b - a) * s
+
+
+def kershaw_transform(eps_y, eps_z, x, y, z=None):
+    """The standard 6-layer Kershaw warp of the unit box (the mesh family
+    of the reference's benchmarks, run.py:24-49; construction follows the
+    public CEED/MFEM definition)."""
+    layer = np.minimum((x * 6.0).astype(np.int64), 5)
+    lam = x * 6.0 - layer
+
+    def warp(eps, c):
+        lo, hi = _kershaw_left(eps, c), _kershaw_right(eps, c)
+        out = np.where(layer == 0, lo, 0.0)
+        out = np.where((layer == 1) | (layer == 4), _kershaw_step(lo, hi, lam), out)
+        out = np.where(layer == 2, _kershaw_step(hi, lo, lam / 2.0), out)
+        out = np.where(layer == 3, _kershaw_step(hi, lo, (1.0 + lam) / 2.0), out)
+        out = np.where(layer == 5, hi, out)
+        return out
+
+    Y = warp(eps_y, y)
+    Z = warp(eps_z, z) if z is not None else None
+    return x, Y, Z
+
+
+def geometric_factors(coords: np.ndarray, dim: int, poly_degree: int) -> np.ndarray:
+    """Compute the SEM geometric factors G = w |J| (J^{-1} J^{-T}).
+
+    ``coords`` is (E, npe, dim). Returns (E, npe, 3) in 2D or (E, npe, 6)
+    in 3D, ordered as the reference's g_1..g_6 (domain.okl:29-49):
+    2D [G_rr, G_ss, G_rs]; 3D [G_rr, G_ss, G_tt, G_rs, G_rt, G_st].
+    """
+    n = poly_degree + 1
+    E = coords.shape[0]
+    D = diff_matrix(n)
+    _, w = gll_points_weights(n)
+    shape_local = (n,) * dim
+    X = coords.reshape((E,) + shape_local + (dim,))
+
+    # Jacobian J[e, ..., d, a] = d x_d / d r_a; r_a is the a-th reference
+    # coordinate: a=0 (r, along x-storage = last axis), a=1 (s), a=2 (t).
+    def deriv_along(F, axis):
+        # (D @ u) along a given axis: sum_k D[i,k] F[..., k, ...]
+        G = np.tensordot(F, D.T, axes=([axis], [0]))
+        return np.moveaxis(G, -1, axis)
+
+    J = np.empty((E,) + shape_local + (dim, dim))
+    for a in range(dim):
+        axis = 1 + (dim - 1 - a)  # storage axis for reference direction a
+        J[..., :, a] = deriv_along(X, axis)
+
+    detJ = np.linalg.det(J)
+    Jinv = np.linalg.inv(J)  # Jinv[..., a, d] = d r_a / d x_d
+    Gfull = np.einsum("...ad,...bd->...ab", Jinv, Jinv) * detJ[..., None, None]
+
+    wq = w
+    for _ in range(dim - 1):
+        wq = np.multiply.outer(w, wq)  # (n_z, n_y, n_x) product weights
+    Gfull *= wq[None, ..., None, None]
+
+    if dim == 2:
+        pairs = [(0, 0), (1, 1), (0, 1)]
+    else:
+        pairs = [(0, 0), (1, 1), (2, 2), (0, 1), (0, 2), (1, 2)]
+    g = np.stack([Gfull[..., a, b] for a, b in pairs], axis=-1)
+    mass = (wq[None] * detJ).reshape(E, n ** dim)
+    return g.reshape(E, n ** dim, len(pairs)), mass
+
+
+def _trilinear_nodes(elem_shape, poly_degree, vertex_transform):
+    """Nodal coordinates for a vertex-warped mesh.
+
+    The warp is applied to element *vertices* only; interior GLL nodes are
+    placed by d-linear interpolation, so every element is a (bi/tri)linear
+    hex with a smooth, invertible isoparametric map even when the warp has
+    kinks inside an element (the Kershaw map is piecewise linear).
+    """
+    dim = len(elem_shape)
+    n = poly_degree + 1
+    from ..utils.gll import gll_points_weights
+    r, _ = gll_points_weights(n)
+    t = (r + 1.0) / 2.0
+    blend = np.stack([1.0 - t, t], axis=0)  # (2, n)
+
+    # lattice of warped vertices: (m_0+1, ..., m_{dim-1}+1, dim) in ij order
+    grids = np.meshgrid(*[np.arange(m + 1) / m for m in elem_shape],
+                        indexing="ij")
+    if dim == 2:
+        vx, vy = grids
+        _, wy, _ = vertex_transform(vx, vy, None)
+        verts = np.stack([vx, wy], axis=-1)
+    else:
+        vx, vy, vz = grids
+        _, wy, wz = vertex_transform(vx, vy, vz)
+        verts = np.stack([vx, wy, wz], axis=-1)
+
+    elem_grid = np.meshgrid(*[np.arange(m) for m in elem_shape], indexing="ij")
+    emulti = [g.ravel() for g in elem_grid]
+    E = int(np.prod(elem_shape))
+
+    # corner coords per element: (E,) + (2,)*dim + (dim,)
+    corner_idx = np.meshgrid(*([np.arange(2)] * dim), indexing="ij")
+    corners = np.empty((E,) + (2,) * dim + (dim,))
+    it = np.ndindex(*(2,) * dim)
+    for c in it:
+        sel = tuple(emulti[d] + c[d] for d in range(dim))
+        corners[(slice(None),) + c] = verts[sel]
+
+    # d-linear blend to GLL nodes, storage order (E, n_z, n_y, n_x, dim)
+    out = corners
+    for d in range(dim):
+        # contract corner axis for dimension d with blend along that axis;
+        # corner axis order matches dims (x, y, z); storage axis for dim d
+        # in the output should be (dim-1-d)
+        out = np.tensordot(out, blend, axes=([1], [0]))
+        # tensordot appends the n-axis at the end; we will reorder below
+    # out now has shape (E, dim, n_x, n_y[, n_z]) -> wait: corner axes were
+    # consumed left-to-right, appended axes are (n for x, n for y, n for z)
+    # after the trailing coordinate axis. Reorder to (E, n_z, n_y, n_x, dim).
+    if dim == 2:
+        out = np.transpose(out, (0, 3, 2, 1))  # (E, n_y, n_x, dim)
+    else:
+        out = np.transpose(out, (0, 4, 3, 2, 1))  # (E, n_z, n_y, n_x, dim)
+    return out.reshape(E, n ** dim, dim)
+
+
+def _build(elem_shape, poly_degree, transform=None, vertex_transform=None) -> GlobalMesh:
+    dim = len(elem_shape)
+    n = poly_degree + 1
+    npe = n ** dim
+    coords_axes, glo_num, gdims = _reference_coords(elem_shape, poly_degree)
+    E = glo_num.shape[0]
+
+    if transform is not None:
+        coords_axes = transform(coords_axes)
+
+    if vertex_transform is not None:
+        coords = _trilinear_nodes(elem_shape, poly_degree, vertex_transform)
+    else:
+        coords = np.stack([c.reshape(E, npe) for c in coords_axes], axis=-1)
+    glo_flat = glo_num.reshape(E, npe)
+
+    degree_global = np.bincount(glo_flat.ravel(), minlength=int(glo_flat.max()) + 1)
+    node_degree = degree_global[glo_flat].astype(np.int32)
+
+    # Dirichlet on the whole outer boundary (the reference's p_mask comes
+    # from Nek5000 with the same convention: 0 on boundary nodes).
+    gids = glo_flat.copy()
+    mask = np.ones((E, npe))
+    for d in range(dim):
+        gi = gids % gdims[d]
+        mask *= (gi != 0) & (gi != gdims[d] - 1)
+        gids //= gdims[d]
+
+    geom, mass = geometric_factors(coords, dim, poly_degree)
+    return GlobalMesh(
+        dim=dim,
+        poly_degree=poly_degree,
+        elem_shape=tuple(elem_shape),
+        coords=coords,
+        glo_num=glo_flat,
+        node_degree=node_degree,
+        dirichlet_mask=mask,
+        geom=geom,
+        mass=mass,
+    )
+
+
+def box_mesh(elem_shape, poly_degree) -> GlobalMesh:
+    """Uniform box mesh of the unit square/cube."""
+    return _build(tuple(elem_shape), poly_degree)
+
+
+def kershaw_mesh(elem_shape, poly_degree, epsilon=0.3) -> GlobalMesh:
+    """Kershaw-warped box mesh (reference benchmark meshes, run.py:24-49).
+
+    epsilon=1.0 gives the uniform box; smaller epsilon gives higher
+    distortion (the reference sweeps 1.0 and 0.3).
+    """
+    elem_shape = tuple(elem_shape)
+
+    def vtransform(x, y, z):
+        return kershaw_transform(epsilon, epsilon, x, y, z)
+
+    return _build(elem_shape, poly_degree, vertex_transform=vtransform)

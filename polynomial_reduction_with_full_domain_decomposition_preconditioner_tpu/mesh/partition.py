@@ -1,0 +1,171 @@
+"""Element partitioning and SPMD assembly plans.
+
+Replaces the reference's per-rank mesh files + gslib gather-scatter setup
+(/root/reference/domain.tpp:236-302) with a statically computed plan:
+
+- elements are split into ``num_shards`` contiguous chunks (the reference's
+  1 rank = 1 GPU partition, poisson.cpp:84-89), padded so every shard has
+  identical shapes (SPMD requirement);
+- each shard gets a local node numbering (dedup by global id, like
+  domain.tpp:249-281) expressed as a dense ``gather_ids`` map;
+- nodes shared between shards ("boundary nodes", detected exactly as the
+  reference does: local multiplicity != global multiplicity,
+  domain.tpp:253-267) get an index into a compact global interface vector,
+  exchanged on-device with one psum instead of gslib's host-side MPI
+  (domain.tpp:590-594 bounces D2H->gs->H2D; we never leave HBM).
+
+All arrays are stacked with a leading shard axis so they can be dropped
+straight into ``jax.shard_map``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .generator import GlobalMesh
+
+__all__ = ["ShardedDomain", "partition_mesh"]
+
+
+@dataclass
+class ShardedDomain:
+    """Per-shard stacked arrays describing a partitioned SEM problem.
+
+    Shapes use P = num_shards, E = padded elements/shard, npe = points per
+    element, NN = padded local nodes/shard (+1 trash slot at index NN),
+    B = padded boundary nodes/shard, BG = global interface nodes
+    (+1 trash slot at index BG).
+    """
+
+    dim: int
+    poly_degree: int
+    num_shards: int
+    num_total_elements: int          # real (unpadded) element count
+    num_global_nodes: int
+
+    geom: np.ndarray                 # (P, E, npe, nG), zero for pad elements
+    mass: np.ndarray                 # (P, E, npe), zero for pad elements
+    coords: np.ndarray               # (P, E, npe, dim)
+    dirichlet_mask: np.ndarray       # (P, E*npe), 0 for pad points
+    glo_num: np.ndarray              # (P, E, npe) int64 (pad -> -1)
+    elem_valid: np.ndarray           # (P, E) bool
+
+    gather_ids: np.ndarray           # (P, E*npe) int32 in [0, NN]; NN = trash
+    num_local_nodes: int             # NN (max over shards)
+    node_valid: np.ndarray           # (P, NN+1) float, 1 for real nodes
+    inv_degree: np.ndarray           # (P, NN+1) float, 1/global multiplicity
+
+    bnode_local: np.ndarray          # (P, B) int32 local node id (pad -> NN)
+    bnode_global: np.ndarray         # (P, B) int32 interface id (pad -> BG)
+    num_boundary_global: int         # BG
+
+    @property
+    def num_points_per_elem(self) -> int:
+        return self.geom.shape[2]
+
+    @property
+    def elems_per_shard(self) -> int:
+        return self.geom.shape[1]
+
+    @property
+    def points_per_shard(self) -> int:
+        return self.geom.shape[1] * self.geom.shape[2]
+
+
+def partition_mesh(mesh: GlobalMesh, num_shards: int) -> ShardedDomain:
+    E_tot = mesh.num_elements
+    npe = mesh.num_points_per_elem
+    P = num_shards
+    E = -(-E_tot // P)  # padded elements per shard
+
+    # contiguous element chunks (the reference's per-rank files are likewise
+    # a static partition of the element list, domain.tpp:45)
+    bounds = np.linspace(0, E_tot, P + 1).astype(np.int64)
+    shard_of_elem = np.repeat(np.arange(P), np.diff(bounds))
+
+    # which shards touch each global node -> interface nodes
+    N_glob = mesh.num_nodes
+    touched = np.zeros((N_glob,), dtype=np.int64)
+    first_shard = np.full((N_glob,), -1, dtype=np.int64)
+    for p in range(P):
+        sel = mesh.glo_num[bounds[p]:bounds[p + 1]].ravel()
+        uniq = np.unique(sel)
+        touched[uniq] += 1
+        first_shard[uniq] = np.where(first_shard[uniq] < 0, p, first_shard[uniq])
+    interface = np.flatnonzero(touched > 1)
+    BG = interface.size
+    iface_index = np.full((N_glob,), -1, dtype=np.int64)
+    iface_index[interface] = np.arange(BG)
+
+    degree_global = np.bincount(mesh.glo_num.ravel(), minlength=N_glob)
+
+    geom = np.zeros((P, E, npe, mesh.num_geom))
+    mass_arr = np.zeros((P, E, npe))
+    coords = np.zeros((P, E, npe, mesh.dim))
+    mask = np.zeros((P, E * npe))
+    glo = np.full((P, E, npe), -1, dtype=np.int64)
+    valid = np.zeros((P, E), dtype=bool)
+
+    gather_list, bl_list, bg_list, nn_sizes = [], [], [], []
+
+    for p in range(P):
+        lo, hi = bounds[p], bounds[p + 1]
+        ne = hi - lo
+        geom[p, :ne] = mesh.geom[lo:hi]
+        mass_arr[p, :ne] = mesh.mass[lo:hi]
+        coords[p, :ne] = mesh.coords[lo:hi]
+        mask[p, :ne * npe] = mesh.dirichlet_mask[lo:hi].ravel()
+        glo[p, :ne] = mesh.glo_num[lo:hi]
+        valid[p, :ne] = True
+
+        gids = mesh.glo_num[lo:hi].ravel()
+        uniq, inv = np.unique(gids, return_inverse=True)
+        nn_sizes.append(uniq.size)
+        gather_list.append((uniq, inv))
+
+        is_iface = iface_index[uniq] >= 0
+        bl_list.append(np.flatnonzero(is_iface).astype(np.int32))
+        bg_list.append(iface_index[uniq[is_iface]].astype(np.int32))
+
+    NN = max(nn_sizes)
+    B = max((b.size for b in bl_list), default=0)
+    B = max(B, 1)  # keep nonzero shapes
+
+    gather_ids = np.full((P, E * npe), NN, dtype=np.int32)
+    node_valid = np.zeros((P, NN + 1))
+    inv_degree = np.zeros((P, NN + 1))
+    bnode_local = np.full((P, B), NN, dtype=np.int32)
+    bnode_global = np.full((P, B), BG, dtype=np.int32)
+
+    for p in range(P):
+        uniq, inv = gather_list[p]
+        npts = inv.size
+        gather_ids[p, :npts] = inv.astype(np.int32)
+        node_valid[p, :uniq.size] = 1.0
+        inv_degree[p, :uniq.size] = 1.0 / degree_global[uniq]
+        nb = bl_list[p].size
+        bnode_local[p, :nb] = bl_list[p]
+        bnode_global[p, :nb] = bg_list[p]
+
+    return ShardedDomain(
+        dim=mesh.dim,
+        poly_degree=mesh.poly_degree,
+        num_shards=P,
+        num_total_elements=E_tot,
+        num_global_nodes=N_glob,
+        geom=geom,
+        mass=mass_arr,
+        coords=coords,
+        dirichlet_mask=mask,
+        glo_num=glo,
+        elem_valid=valid,
+        gather_ids=gather_ids,
+        num_local_nodes=NN,
+        node_valid=node_valid,
+        inv_degree=inv_degree,
+        bnode_local=bnode_local,
+        bnode_global=bnode_global,
+        num_boundary_global=BG,
+    )

@@ -1,0 +1,79 @@
+"""Direct stiffness summation (gather-scatter) — the gslib replacement.
+
+The reference assembles shared-node contributions with a local CSR pair
+Q/Qt plus a blocking host-side gslib exchange on boundary nodes
+(/root/reference/domain.tpp:583-600: Qt SpMV -> D2H -> gslib_gs(add) ->
+H2D -> Q SpMV). Here the whole pipeline stays in HBM:
+
+  1. scatter-add points -> local unique nodes (Qt),
+  2. one ``psum`` over the shard axis restricted to the compact global
+     interface vector (replaces gslib_gs, domain.tpp:592),
+  3. gather nodes -> points (Q), with optional Dirichlet mask / inverse
+     multiplicity weight (csr_matrix.okl:35-48 ``multiply_weight``).
+
+Index plans come from mesh/partition.py. All functions are shard-local
+SPMD code: call them inside ``jax.shard_map`` (axis_name set) or on a
+single device (axis_name=None).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["scatter_to_nodes", "gather_to_points", "exchange", "dssum", "psum_scalar"]
+
+
+def psum_scalar(x, axis_name):
+    return jax.lax.psum(x, axis_name) if axis_name is not None else x
+
+
+def scatter_to_nodes(u_pts, gather_ids, num_local_nodes: int):
+    """Qt apply: sum point values into local unique nodes.
+
+    Returns an array of size num_local_nodes + 1; the final slot is the
+    trash node that absorbs padding points.
+    """
+    out = jnp.zeros((num_local_nodes + 1,), dtype=u_pts.dtype)
+    return out.at[gather_ids].add(u_pts, mode="drop")
+
+
+def gather_to_points(w_nodes, gather_ids):
+    """Q apply: read node values back to points."""
+    return w_nodes[gather_ids]
+
+
+def exchange(w_nodes, bnode_local, bnode_global, num_boundary_global: int,
+             axis_name):
+    """Sum boundary-node values across shards (the gslib_gs(add) step).
+
+    Uses a compact interface vector of length num_boundary_global (+1 trash
+    slot) and a single psum over the shard axis — all in HBM, unlike the
+    reference's host bounce (domain.tpp:590-594).
+    """
+    if axis_name is None or num_boundary_global == 0:
+        return w_nodes
+    buf = jnp.zeros((num_boundary_global + 1,), dtype=w_nodes.dtype)
+    buf = buf.at[bnode_global].add(w_nodes[bnode_local], mode="drop")
+    buf = jax.lax.psum(buf, axis_name)
+    return w_nodes.at[bnode_local].set(buf[bnode_global], mode="drop")
+
+
+def dssum(u_pts, *, gather_ids, mask, inv_degree, bnode_local, bnode_global,
+          num_local_nodes: int, num_boundary_global: int, axis_name,
+          apply_mask: bool = True, apply_weight: bool = False):
+    """Full direct stiffness summation QQt (domain.tpp:583-600).
+
+    apply_weight multiplies node sums by 1/multiplicity *before* the
+    exchange, like the reference's Qt.multiply_weight(assembled_weight)
+    (domain.tpp:586) — the weight is shard-invariant so the result equals
+    weighting after the global sum.
+    """
+    w = scatter_to_nodes(u_pts, gather_ids, num_local_nodes)
+    if apply_weight:
+        w = w * inv_degree
+    w = exchange(w, bnode_local, bnode_global, num_boundary_global, axis_name)
+    out = gather_to_points(w, gather_ids)
+    if apply_mask:
+        out = out * mask
+    return out

@@ -1,0 +1,124 @@
+"""Matrix-free SEM stiffness operator as batched MXU tensor contractions.
+
+TPU-native rebuild of the reference's hot kernels ``stiffness_matrix_1/2``
+(/root/reference/domain.okl:5-98). The reference assigns one GPU thread per
+nodal point with an inner serial loop; on TPU the same computation is the
+element-batched contraction
+
+    Au = sum_a D_a^T ( G_ab (D_b u) )
+
+which XLA maps onto the MXU as ``(E * n^(d-1), n) x (n, n)`` batched
+matmuls. Geometric factors carry GLL weights and |J| (see
+mesh/generator.geometric_factors), so no extra mass scaling appears here.
+
+No communication: the result is the *non-assembled* (local) operator
+image, exactly like the reference's 2-argument ``stiffness_matrix`` call
+(domain.tpp:602-609 with apply_dssum=false); direct stiffness summation is
+a separate op (ops/gather_scatter.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["stiffness_apply", "stiffness_diagonal"]
+
+# f32 inputs stay f32 on the MXU (3-pass); bf16 fast path is a config knob
+# handled by callers via dtype of the operands.
+_PREC = jax.lax.Precision.HIGHEST
+
+
+def _contract_last(D, U):
+    """out[..., i] = sum_k D[i, k] U[..., k] along the trailing axis."""
+    return jnp.einsum("ik,...k->...i", D, U, precision=_PREC)
+
+
+def stiffness_apply(u, geom, D, dim: int):
+    """Apply the local SEM stiffness operator element-by-element.
+
+    Args:
+      u: (E, npe) nodal values, local ordering v = i + j*n (+ k*n^2).
+      geom: (E, npe, nG) geometric factors g_1..g_nG
+            (2D: [G_rr, G_ss, G_rs]; 3D: [G_rr,G_ss,G_tt,G_rs,G_rt,G_st]).
+      D: (n, n) GLL differentiation matrix, (D @ f)[i] = f'(r_i).
+      dim: 2 or 3.
+
+    Returns:
+      (E, npe) the non-assembled operator image A_local u.
+    """
+    n = D.shape[0]
+    E = u.shape[0]
+    Dt = D.T
+
+    if dim == 2:
+        U = u.reshape(E, n, n)              # (e, j, i): x fastest
+        G = geom.reshape(E, n, n, 3)
+        # derivatives in reference coordinates (domain.okl:23-27)
+        Dr = _contract_last(D, U)                          # d/dr along i
+        Ds = jnp.swapaxes(_contract_last(D, jnp.swapaxes(U, 1, 2)), 1, 2)
+        # geometric contraction (domain.okl:29-30)
+        Wr = G[..., 0] * Dr + G[..., 2] * Ds
+        Ws = G[..., 2] * Dr + G[..., 1] * Ds
+        # transposed derivatives (domain.okl:72-78)
+        Au = _contract_last(Dt, Wr)
+        Au += jnp.swapaxes(_contract_last(Dt, jnp.swapaxes(Ws, 1, 2)), 1, 2)
+        return Au.reshape(E, n * n)
+
+    if dim == 3:
+        U = u.reshape(E, n, n, n)           # (e, k, j, i): x fastest
+        G = geom.reshape(E, n, n, n, 6)
+        Dr = _contract_last(D, U)                              # along i
+        Ds = jnp.swapaxes(_contract_last(D, jnp.swapaxes(U, 2, 3)), 2, 3)
+        Dt_ = jnp.swapaxes(_contract_last(D, jnp.swapaxes(U, 1, 3)), 1, 3)
+        # (domain.okl:47-49)
+        Wr = G[..., 0] * Dr + G[..., 3] * Ds + G[..., 4] * Dt_
+        Ws = G[..., 3] * Dr + G[..., 1] * Ds + G[..., 5] * Dt_
+        Wt = G[..., 4] * Dr + G[..., 5] * Ds + G[..., 2] * Dt_
+        # (domain.okl:91-95)
+        Au = _contract_last(Dt, Wr)
+        Au += jnp.swapaxes(_contract_last(Dt, jnp.swapaxes(Ws, 2, 3)), 2, 3)
+        Au += jnp.swapaxes(_contract_last(Dt, jnp.swapaxes(Wt, 1, 3)), 1, 3)
+        return Au.reshape(E, n ** 3)
+
+    raise ValueError(f"dim must be 2 or 3, got {dim}")
+
+
+def stiffness_diagonal(geom, D, dim: int):
+    """Diagonal of the local SEM stiffness operator, closed form.
+
+    Needed by the Jacobi preconditioner (reference capability: the CSR
+    layer exposes ``diagonal`` extraction, csr_matrix.tpp:261-299; here the
+    matrix-free diagonal is exact without assembling anything):
+
+      diag[(i,j)] = sum_k D[k,i]^2 G_rr[(k,j)] + sum_k D[k,j]^2 G_ss[(i,k)]
+                    + 2 D[i,i] D[j,j] G_rs[(i,j)]      (2D; 3D analogous)
+
+    Returns (E, npe).
+    """
+    n = D.shape[0]
+    E = geom.shape[0]
+    D2 = D * D
+    d = jnp.diagonal(D)
+
+    if dim == 2:
+        G = geom.reshape(E, n, n, 3)
+        # term_r[(i,j)] = sum_k D2[k,i] G_rr[e,j,k] (storage (e, j, i))
+        t_r = jnp.einsum("ki,ejk->eji", D2, G[..., 0])
+        t_s = jnp.einsum("kj,eki->eji", D2, G[..., 1])
+        t_rs = 2.0 * d[None, None, :] * d[None, :, None] * G[..., 2]
+        return (t_r + t_s + t_rs).reshape(E, n * n)
+
+    if dim == 3:
+        G = geom.reshape(E, n, n, n, 6)
+        t_r = jnp.einsum("pi,ekjp->ekji", D2, G[..., 0])
+        t_s = jnp.einsum("pj,ekpi->ekji", D2, G[..., 1])
+        t_t = jnp.einsum("pk,epji->ekji", D2, G[..., 2])
+        di = d[None, None, None, :]
+        dj = d[None, None, :, None]
+        dk = d[None, :, None, None]
+        t_cross = 2.0 * (di * dj * G[..., 3] + di * dk * G[..., 4]
+                         + dj * dk * G[..., 5])
+        return (t_r + t_s + t_t + t_cross).reshape(E, n ** 3)
+
+    raise ValueError(f"dim must be 2 or 3, got {dim}")

@@ -1,0 +1,301 @@
+"""The fine-level SEM Poisson problem ("Domain" layer).
+
+TPU-native rebuild of the reference's ``Domain<DType>`` class
+(/root/reference/domain.{hpp,tpp}): owns the partitioned mesh data on
+device, the matrix-free stiffness operator, direct stiffness summation,
+manufactured solutions, and the outer Krylov solves.
+
+Execution model: a single ``jax.jit``-compiled solve. On one device the
+closures run as-is; across devices the *same* function runs under
+``jax.shard_map`` over a 1-D 'shard' mesh axis — the reference's
+1 rank = 1 GPU SPMD (poisson.cpp:84-89) — with psum replacing
+MPI_Allreduce (domain.tpp:929) and the interface-vector exchange replacing
+gslib (domain.tpp:592).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from ..mesh.partition import ShardedDomain
+from ..ops import sem
+from ..ops import gather_scatter as gs
+from . import krylov
+
+__all__ = ["Domain"]
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class DomainArrays:
+    """Device-resident per-shard state (pytree). Per-shard fields carry a
+    leading shard axis that shard_map splits; D is replicated."""
+    geom: jax.Array          # (P, E, npe, nG)
+    mask: jax.Array          # (P, E*npe)
+    gather_ids: jax.Array    # (P, E*npe) int32
+    inv_degree: jax.Array    # (P, NN+1)
+    bnode_local: jax.Array   # (P, B) int32
+    bnode_global: jax.Array  # (P, B) int32
+    D: jax.Array             # (n, n), replicated
+
+
+def _specs(axis: str):
+    return DomainArrays(
+        geom=P(axis), mask=P(axis), gather_ids=P(axis), inv_degree=P(axis),
+        bnode_local=P(axis), bnode_global=P(axis), D=P())
+
+
+def _squeeze_shard(a: DomainArrays) -> DomainArrays:
+    return DomainArrays(
+        geom=a.geom[0], mask=a.mask[0], gather_ids=a.gather_ids[0],
+        inv_degree=a.inv_degree[0], bnode_local=a.bnode_local[0],
+        bnode_global=a.bnode_global[0], D=a.D)
+
+
+class Domain:
+    """User-facing fine-level problem (reference Domain, domain.hpp:33-145).
+
+    Args:
+      sharded: host-side partitioned mesh (mesh/partition.partition_mesh).
+      dtype: solver precision (the reference's STYPE, config.hpp:19).
+        float32 is the TPU-native default; float64 works everywhere JAX
+        enables x64 (CPU validation, emulated on TPU).
+      device_mesh: a jax.sharding.Mesh with one axis matching
+        sharded.num_shards, or None for single-device execution.
+      axis_name: mesh axis name used for collectives.
+    """
+
+    def __init__(self, sharded: ShardedDomain, *, dtype=jnp.float32,
+                 device_mesh=None, axis_name: str = "shard"):
+        self.sharded = sharded
+        self.dtype = dtype
+        self.dim = sharded.dim
+        self.poly_degree = sharded.poly_degree
+        self.num_local_nodes = sharded.num_local_nodes
+        self.num_boundary_global = sharded.num_boundary_global
+        self.device_mesh = device_mesh
+        self.axis_name = axis_name if device_mesh is not None else None
+        self.spmd = device_mesh is not None
+
+        if self.spmd:
+            sizes = dict(zip(device_mesh.axis_names, device_mesh.devices.shape))
+            if sizes.get(axis_name) != sharded.num_shards:
+                raise ValueError(
+                    f"device mesh axis '{axis_name}' has size "
+                    f"{sizes.get(axis_name)} but the domain has "
+                    f"{sharded.num_shards} shards")
+
+        from ..utils.gll import diff_matrix
+        D = diff_matrix(sharded.poly_degree + 1).astype(dtype)
+
+        arrays = DomainArrays(
+            geom=jnp.asarray(sharded.geom, dtype=dtype),
+            mask=jnp.asarray(sharded.dirichlet_mask, dtype=dtype),
+            gather_ids=jnp.asarray(sharded.gather_ids),
+            inv_degree=jnp.asarray(sharded.inv_degree, dtype=dtype),
+            bnode_local=jnp.asarray(sharded.bnode_local),
+            bnode_global=jnp.asarray(sharded.bnode_global),
+            D=jnp.asarray(D),
+        )
+        if self.spmd:
+            spec = _specs(axis_name)
+            arrays = jax.tree.map(
+                lambda x, s: jax.device_put(
+                    x, jax.sharding.NamedSharding(device_mesh, s)),
+                arrays, spec)
+        else:
+            arrays = _squeeze_shard(arrays)
+        self.arrays = arrays
+
+        # point-space field sharding (P, E*npe) or (E*npe,)
+        if self.spmd:
+            self.field_sharding = jax.sharding.NamedSharding(
+                device_mesh, P(axis_name))
+        else:
+            self.field_sharding = None
+
+    # ---- closure builders (shard-local SPMD code) ----
+
+    def _ops(self, arrays: DomainArrays):
+        st = self.sharded
+        axis = self.axis_name
+
+        def operator(u):
+            E, npe = arrays.geom.shape[0], arrays.geom.shape[1]
+            au = sem.stiffness_apply(u.reshape(E, npe), arrays.geom,
+                                     arrays.D, self.dim)
+            return au.reshape(u.shape)
+
+        def dssum(u, apply_mask=True, apply_weight=False):
+            return gs.dssum(
+                u, gather_ids=arrays.gather_ids, mask=arrays.mask,
+                inv_degree=arrays.inv_degree,
+                bnode_local=arrays.bnode_local,
+                bnode_global=arrays.bnode_global,
+                num_local_nodes=st.num_local_nodes,
+                num_boundary_global=st.num_boundary_global,
+                axis_name=axis, apply_mask=apply_mask,
+                apply_weight=apply_weight)
+
+        def dot(a, b):
+            return gs.psum_scalar(
+                jnp.dot(a, b, precision=_HI), axis)
+
+        def dot2(a, b, c, d):
+            v = jnp.stack([jnp.dot(a, b, precision=_HI),
+                           jnp.dot(c, d, precision=_HI)])
+            v = gs.psum_scalar(v, axis)
+            return v[0], v[1]
+
+        return operator, dssum, dot, dot2
+
+    # ---- solvers ----
+
+    def _solve_impl(self, arrays, f, precond_builder, method, max_iterations,
+                    num_vectors, tolerance, use_relative):
+        operator, dssum, dot, dot2 = self._ops(arrays)
+        dssum_plain = lambda r: dssum(r, apply_mask=True, apply_weight=False)
+        if precond_builder is None:
+            # the reference's "unpreconditioned" path is z = QQt r with mask
+            # (domain.tpp:650,801)
+            precond = dssum_plain
+        else:
+            precond = precond_builder(arrays, operator, dssum, dot)
+        if method == "fcg":
+            return krylov.fcg(operator, precond, dssum_plain, dot, dot2, f,
+                              max_iterations=max_iterations,
+                              tolerance=tolerance, use_relative=use_relative)
+        if method == "fgmres":
+            return krylov.fgmres(operator, precond, dssum_plain, dot, f,
+                                 max_iterations=max_iterations,
+                                 num_vectors=num_vectors,
+                                 tolerance=tolerance,
+                                 use_relative=use_relative)
+        raise ValueError(f"unknown method {method!r}")
+
+    def solver(self, method="fcg", precond_builder=None, max_iterations=500,
+               num_vectors=20, tolerance=None, use_relative=True):
+        """Build a jitted solve function f -> KrylovResult.
+
+        precond_builder: None (reference 'unpreconditioned' QQt path) or a
+        callable (arrays, operator, dssum, dot) -> (r -> z) returning a
+        continuous, stitched preconditioned vector.
+        """
+        if tolerance is None:
+            tolerance = 1.0e-7 if self.dtype == jnp.float64 else 1.0e-4
+
+        impl = partial(self._solve_impl, precond_builder=precond_builder,
+                       method=method, max_iterations=max_iterations,
+                       num_vectors=num_vectors, tolerance=tolerance,
+                       use_relative=use_relative)
+        if self.spmd:
+            mesh = self.device_mesh
+            ax = self.axis_name
+
+            def spmd_impl(arrays, f):
+                res = impl(_squeeze_shard(arrays), f[0])
+                return krylov.KrylovResult(
+                    u=res.u[None], iterations=res.iterations,
+                    residual_history=res.residual_history,
+                    r0_norm=res.r0_norm, converged=res.converged)
+
+            out_specs = krylov.KrylovResult(
+                u=P(ax), iterations=P(), residual_history=P(),
+                r0_norm=P(), converged=P())
+            fn = jax.shard_map(spmd_impl, mesh=mesh,
+                               in_specs=(_specs(ax), P(ax)),
+                               out_specs=out_specs)
+            return jax.jit(lambda f: fn(self.arrays, f))
+        return jax.jit(lambda f: impl(self.arrays, f))
+
+    # ---- fields and manufactured solutions ----
+
+    def points_shape(self):
+        st = self.sharded
+        if self.spmd:
+            return (st.num_shards, st.points_per_shard)
+        return (st.points_per_shard,)
+
+    def to_device_field(self, host_field: np.ndarray):
+        x = jnp.asarray(host_field.reshape(self.points_shape()),
+                        dtype=self.dtype)
+        if self.spmd:
+            x = jax.device_put(x, self.field_sharding)
+        return x
+
+    def _jit_pointwise(self, name, run):
+        """Cache a jitted (arrays, field) -> field function under `name`."""
+        cache = self.__dict__.setdefault("_fn_cache", {})
+        if name not in cache:
+            if self.spmd:
+                ax = self.axis_name
+                fn = jax.shard_map(
+                    lambda a, u: run(_squeeze_shard(a), u[0])[None],
+                    mesh=self.device_mesh, in_specs=(_specs(ax), P(ax)),
+                    out_specs=P(ax))
+            else:
+                fn = run
+            cache[name] = jax.jit(fn)
+        return cache[name]
+
+    def dssum_field(self, u, apply_mask=True, apply_weight=False):
+        """Standalone jitted dssum on a device field (setup utility)."""
+        def run(arrays, u, _m=apply_mask, _w=apply_weight):
+            _, dssum, _, _ = self._ops(arrays)
+            return dssum(u, apply_mask=_m, apply_weight=_w)
+
+        key = ("dssum", apply_mask, apply_weight)
+        return self._jit_pointwise(key, run)(self.arrays, u)
+
+    def apply_operator(self, u):
+        """Standalone jitted local stiffness apply (for RHS manufacture)."""
+        def run(arrays, u):
+            operator, _, _, _ = self._ops(arrays)
+            return operator(u)
+
+        return self._jit_pointwise("operator", run)(self.arrays, u)
+
+    def initial_function(self, function_id: int = 0, seed: int = 0):
+        """Manufactured solutions ids 0-4 (domain.tpp:527-580), made
+        continuous and masked exactly like the reference (dssum with
+        Dirichlet mask and inverse-multiplicity weight, domain.tpp:579)."""
+        st = self.sharded
+        c = st.coords.reshape(-1, st.coords.shape[-1])
+        x = c[:, 0]
+        y = c[:, 1] if self.dim >= 2 else None
+        z = c[:, 2] if self.dim >= 3 else None
+        pi = np.pi
+        base = np.sin(pi * x) * np.sin(pi * y)
+        if self.dim == 3:
+            base = base * np.sin(pi * z)
+        if function_id == 0:
+            vals = base
+        elif function_id == 1:
+            extra = np.sin(2 * pi * x) * np.sin(pi * y)
+            if self.dim == 3:
+                extra = extra * np.sin(pi * z)
+            vals = base + extra
+        elif function_id == 2:
+            vals = np.exp(x) * base
+        elif function_id == 3:
+            rng = np.random.default_rng(seed)
+            vals = base + 0.2 * rng.random(x.shape)
+        elif function_id == 4:
+            rng = np.random.default_rng(seed)
+            vals = rng.random(x.shape)
+        else:
+            raise ValueError(f"unknown function id {function_id}")
+        u = self.to_device_field(vals.reshape(st.num_shards, -1))
+        return self.dssum_field(u, apply_mask=True, apply_weight=True)
+
+    def manufacture_rhs(self, u_star):
+        """f = A u* (local apply, no dssum), as poisson.cpp:218-219."""
+        return self.apply_operator(u_star)

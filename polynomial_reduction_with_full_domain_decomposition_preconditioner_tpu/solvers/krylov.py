@@ -1,0 +1,245 @@
+"""Krylov solvers: flexible CG and restarted flexible GMRES.
+
+TPU-native rebuild of the reference's outer solvers
+(/root/reference/domain.tpp:613-725 flexible_conjugate_gradient,
+domain.tpp:727-914 generalized_minimum_residual). Differences by design:
+
+- The whole iteration runs inside ``jax.lax.while_loop`` under one jit, so
+  XLA executes the solve as a single device program (the reference gets a
+  weaker form of this only for V-cycle legs via CUDA graphs,
+  subdomain.tpp:3644-3704).
+- Gram-Schmidt projections use one (m+1, N) x (N,) matmul on the MXU plus
+  a single fused psum instead of j+1 separate kernel+Allreduce round trips
+  (domain.tpp:810-822).
+- The reference's assembled inner product dssum's the *basis* vector per
+  projection (domain.tpp:938); we dssum the new vector once and use
+  mask-commutes-with-QQt symmetry (M Q = Q M_n => <q, M QQt v> ==
+  <M QQt q, v>), cutting exchanges per Arnoldi step from j+1 to 1.
+
+The solvers are generic over closures:
+  operator(u)       -> local (non-assembled) A u       [no comm]
+  precond(r)        -> z, continuous (already stitched) [may comm]
+  dssum_plain(r)    -> QQt r with Dirichlet mask        [comm]
+  dot(u, v)         -> global plain point-space dot     [psum]
+  dot2(a,b,c,d)     -> (dot(a,b), dot(c,d)) fused       [one psum]
+
+Residual norm = sqrt(<r, QQt r>_masked), the reference's convergence
+metric (domain.tpp:916-931).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["KrylovResult", "fcg", "fgmres"]
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class KrylovResult:
+    u: jax.Array
+    iterations: jax.Array        # int32, number of operator applications
+    residual_history: jax.Array  # (max_iterations + 1,), padded with NaN
+    r0_norm: jax.Array
+    converged: jax.Array
+
+
+def _res_norm(r, dssum_plain, dot):
+    return jnp.sqrt(dot(r, dssum_plain(r)))
+
+
+def fcg(operator, precond, dssum_plain, dot, dot2, f, *,
+        max_iterations: int, tolerance: float, use_relative: bool = True):
+    """Flexible (Notay) preconditioned CG, mirroring domain.tpp:613-725."""
+    dtype = f.dtype
+    u0 = jnp.zeros_like(f)
+    r0 = f
+    r0_norm = _res_norm(r0, dssum_plain, dot)
+    z0 = precond(r0)
+    p0 = z0
+
+    hist0 = jnp.full((max_iterations + 1,), jnp.nan, dtype=dtype)
+    hist0 = hist0.at[0].set(r0_norm)
+
+    tol = jnp.asarray(tolerance, dtype=dtype)
+    target = tol * r0_norm if use_relative else tol
+
+    def cond(state):
+        _, _, _, _, _, it, done, _ = state
+        return jnp.logical_and(it < max_iterations, jnp.logical_not(done))
+
+    def body(state):
+        u, r, z, p, gamma_prev, it, done, hist = state
+        q = operator(p)
+        gamma, theta = dot2(z, r, p, q)
+        alpha = gamma / theta
+        u = u + alpha * p
+        r_new = r - alpha * q
+        rn = _res_norm(r_new, dssum_plain, dot)
+        hist = hist.at[it + 1].set(rn)
+        now_done = jnp.logical_or(rn < target, jnp.isnan(rn))
+        # flexible update (domain.tpp:697-721): z = M r_new,
+        # beta = <r_new - r, z> / gamma (Notay)
+        z_new = precond(r_new)
+        theta2 = dot(r_new - r, z_new)
+        beta = theta2 / gamma
+        p_new = z_new + beta * p
+        # freeze state if converged this step (values unused afterwards)
+        return (u, r_new, z_new, p_new, gamma, it + 1, now_done, hist)
+
+    state = (u0, r0, z0, p0, jnp.asarray(1.0, dtype), jnp.asarray(0, jnp.int32),
+             r0_norm < target, hist0)
+    u, r, _, _, _, it, done, hist = jax.lax.while_loop(cond, body, state)
+    last = hist[it]
+    converged = jnp.logical_and(last < target, jnp.logical_not(jnp.isnan(last)))
+    return KrylovResult(u=u, iterations=it, residual_history=hist,
+                        r0_norm=r0_norm, converged=converged)
+
+
+def fgmres(operator, precond, dssum_plain, dot, f, *,
+           max_iterations: int, num_vectors: int = 20,
+           tolerance: float, use_relative: bool = True):
+    """Restarted flexible GMRES(m), mirroring domain.tpp:727-914.
+
+    Basis vectors are stored stacked (m+1, N) so projections and updates
+    are single MXU matmuls. Givens rotations / the triangular solve run as
+    masked fixed-length loops on scalars.
+    """
+    m = num_vectors
+    dtype = f.dtype
+    N = f.shape[0]
+
+    u0 = jnp.zeros_like(f)
+    r0_norm = _res_norm(f, dssum_plain, dot)
+    tol = jnp.asarray(tolerance, dtype=dtype)
+    target = tol * r0_norm if use_relative else tol
+
+    hist0 = jnp.full((max_iterations + 1,), jnp.nan, dtype=dtype)
+    hist0 = hist0.at[0].set(r0_norm)
+
+    def proj_dots(V, qq, j):
+        """H[i] = <q, QQt V[i]>_masked for i <= j, one matmul + one psum.
+
+        qq is the dssum'ed new vector; by mask/QQt symmetry this equals the
+        reference's assembled_inner_product(q, V[i]) (domain.tpp:934-947).
+        """
+        h = dot(V, qq)  # dot broadcasts: (m+1, N) @ (N,) -> (m+1,)
+        iota = jnp.arange(m + 1)
+        return jnp.where(iota <= j, h, 0.0).astype(dtype)
+
+    def restart_cycle(carry):
+        u, it, done, hist, last_rnorm = carry
+
+        # residual at restart (domain.tpp:758-779)
+        def fresh():
+            r = f - operator(u)
+            return r, _res_norm(r, dssum_plain, dot)
+
+        def first():
+            return f, r0_norm
+
+        r, g0 = jax.lax.cond(it > 0, fresh, first)
+
+        # build bases from r (not fresh zeros) so they inherit r's
+        # shard-varying type under shard_map (vma tracking)
+        zero_row = r * 0.0  # elementwise, keeps vma type (zeros_like may not)
+        V = jnp.repeat(zero_row[None], m + 1, axis=0).at[0].set(r / g0)
+        Z = jnp.repeat(zero_row[None], m, axis=0)
+        H = jnp.zeros((m + 1, m), dtype=dtype)
+        gam = jnp.zeros((m + 1,), dtype=dtype).at[0].set(g0)
+        c = jnp.zeros((m,), dtype=dtype)
+        s = jnp.zeros((m,), dtype=dtype)
+
+        def arnoldi(j, inner):
+            V, Z, H, gam, c, s, jdone, jcount, it, hist, last_rnorm = inner
+
+            def step(args):
+                V, Z, H, gam, c, s, it, hist = args
+                z = precond(V[j])
+                q = operator(z)
+                Z_new = Z.at[j].set(z)
+                qq = dssum_plain(q)
+                h = proj_dots(V, qq, j)
+                q = q - jnp.einsum("i,iN->N", h, V,
+                                   precision=jax.lax.Precision.HIGHEST)
+                # recompute the projected norm on the orthogonalized q
+                alpha = jnp.sqrt(dot(q, dssum_plain(q)))
+
+                # apply accumulated Givens rotations to the new column
+                def rot(i, hcol):
+                    hi, hi1 = hcol[i], hcol[i + 1]
+                    active = i < j
+                    new_i = jnp.where(active, c[i] * hi + s[i] * hi1, hi)
+                    new_i1 = jnp.where(active, -s[i] * hi + c[i] * hi1, hi1)
+                    return hcol.at[i].set(new_i).at[i + 1].set(new_i1)
+
+                hcol = jax.lax.fori_loop(0, m, rot, h)
+
+                beta = jnp.sqrt(hcol[j] ** 2 + alpha ** 2)
+                cj = hcol[j] / beta
+                sj = alpha / beta
+                hcol = hcol.at[j].set(beta)
+                gam_new = gam.at[j + 1].set(-sj * gam[j]).at[j].set(cj * gam[j])
+                rnorm = jnp.abs(gam_new[j + 1])
+
+                H_new = H.at[:, j].set(hcol)
+                V_new = V.at[j + 1].set(q / alpha)
+                hist = hist.at[it + 1].set(rnorm)
+                stop = jnp.logical_or(rnorm < target, jnp.isnan(rnorm))
+                stop = jnp.logical_or(stop, alpha == 0.0)
+                return (V_new, Z_new, H_new, gam_new, c.at[j].set(cj),
+                        s.at[j].set(sj), stop, it + 1, hist, rnorm)
+
+            def skip(args):
+                V, Z, H, gam, c, s, it, hist = args
+                return (V, Z, H, gam, c, s, jnp.asarray(True), it, hist,
+                        last_rnorm)
+
+            active = jnp.logical_and(jnp.logical_not(jdone),
+                                     it < max_iterations)
+            (V, Z, H, gam, c, s, stop, it, hist, rnorm) = jax.lax.cond(
+                active, step, skip, (V, Z, H, gam, c, s, it, hist))
+            jcount = jnp.where(active, j, jcount)
+            jdone = jnp.logical_or(jdone, stop)
+            return (V, Z, H, gam, c, s, jdone, jcount, it, hist, rnorm)
+
+        inner0 = (V, Z, H, gam, c, s, done, jnp.asarray(0, jnp.int32),
+                  it, hist, last_rnorm)
+        (V, Z, H, gam, c, s, jdone, jlast, it, hist, last_rnorm) = (
+            jax.lax.fori_loop(0, m, arnoldi, inner0))
+
+        # masked back-substitution over columns 0..jlast (domain.tpp:891-899)
+        def back(kk, y):
+            k = jlast - kk
+            def active_fn(y):
+                contrib = jnp.where(
+                    (jnp.arange(m) > k) & (jnp.arange(m) <= jlast),
+                    H[k, :] * y, 0.0).sum()
+                return y.at[k].set((gam[k] - contrib) / H[k, k])
+            return jax.lax.cond(kk <= jlast, active_fn, lambda y: y, y)
+
+        y = jax.lax.fori_loop(0, m, back, jnp.zeros((m,), dtype=dtype))
+        u = u + jnp.einsum("i,iN->N", y, Z,
+                           precision=jax.lax.Precision.HIGHEST)
+
+        done_now = jnp.logical_or(jdone, it >= max_iterations)
+        # 'jdone' covers tolerance/NaN/basis-full; only tolerance/NaN end
+        # the outer loop (basis-full just restarts)
+        hit_tol = jnp.logical_or(last_rnorm < target, jnp.isnan(last_rnorm))
+        return (u, it, jnp.logical_or(hit_tol, it >= max_iterations), hist,
+                last_rnorm)
+
+    def cond(carry):
+        _, it, done, _, _ = carry
+        return jnp.logical_not(done)
+
+    carry0 = (u0, jnp.asarray(0, jnp.int32), r0_norm < target, hist0, r0_norm)
+    u, it, done, hist, last = jax.lax.while_loop(cond, restart_cycle, carry0)
+    return KrylovResult(u=u, iterations=it, residual_history=hist,
+                        r0_norm=r0_norm,
+                        converged=jnp.logical_and(last < target,
+                                                  jnp.logical_not(jnp.isnan(last))))

@@ -1,0 +1,104 @@
+"""SPMD parity: the 8-shard shard_map solve must match the 1-device solve.
+
+This replaces the reference's 'just run on the cluster' testing
+(SURVEY.md section 4): identical collectives, virtual CPU mesh.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.mesh import generator as mg
+from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.mesh.partition import partition_mesh
+from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.solvers.domain import Domain
+
+
+def build(P, shape=(4, 4), N=3, method="fcg"):
+    mesh = mg.kershaw_mesh(shape, N, 0.3) if len(shape) == 2 else mg.box_mesh(shape, N)
+    sd = partition_mesh(mesh, P)
+    if P == 1:
+        dom = Domain(sd, dtype=jnp.float64)
+    else:
+        dmesh = jax.make_mesh((P,), ("shard",))
+        dom = Domain(sd, dtype=jnp.float64, device_mesh=dmesh)
+    return mesh, dom
+
+
+def reorder_to_global(mesh, dom, u):
+    """Undo padding: stack shard fields back to the global point ordering."""
+    sd = dom.sharded
+    u = np.asarray(u).reshape(sd.num_shards, sd.elems_per_shard, -1)
+    out = []
+    for p in range(sd.num_shards):
+        out.append(u[p][sd.elem_valid[p]])
+    return np.concatenate(out, axis=0).ravel()
+
+
+@pytest.mark.parametrize("method", ["fcg", "fgmres"])
+def test_spmd_matches_single_device(method):
+    mesh1, dom1 = build(1)
+    mesh8, dom8 = build(8)
+
+    u_star1 = dom1.initial_function(4, seed=7)
+    f1 = dom1.manufacture_rhs(u_star1)
+    res1 = dom1.solver(method=method, max_iterations=400, tolerance=1e-10)(f1)
+
+    # same manufactured field on the 8-shard domain
+    u_star8 = dom8.initial_function(4, seed=7)
+    f8 = dom8.manufacture_rhs(u_star8)
+    res8 = dom8.solver(method=method, max_iterations=400, tolerance=1e-10)(f8)
+
+    # same global field => same convergence history up to FP reduction-order
+    # noise (psum of 8 partials vs one serial sum), which can shift the
+    # final iteration by one
+    h1 = np.asarray(res1.residual_history)
+    h8 = np.asarray(res8.residual_history)
+    n1, n8 = int(res1.iterations), int(res8.iterations)
+    assert abs(n1 - n8) <= 1, (n1, n8)
+    k = min(n1, n8, 10)
+    np.testing.assert_allclose(h8[:k], h1[:k], rtol=1e-9)
+    assert bool(res1.converged) and bool(res8.converged)
+
+    # identical solutions in global ordering (to solver tolerance)
+    g1 = reorder_to_global(mesh1, dom1, res1.u)
+    g8 = reorder_to_global(mesh8, dom8, res8.u)
+    scale = np.max(np.abs(g1))
+    np.testing.assert_allclose(g8, g1, atol=1e-7 * scale)
+
+
+def test_spmd_initial_function_consistent():
+    # seed-7 random field must produce the same continuous field regardless
+    # of sharding (dssum correctness across shards)
+    mesh1, dom1 = build(1)
+    mesh8, dom8 = build(8)
+    u1 = reorder_to_global(mesh1, dom1, dom1.initial_function(4, seed=7))
+    u8 = reorder_to_global(mesh8, dom8, dom8.initial_function(4, seed=7))
+    np.testing.assert_allclose(u8, u1, atol=1e-12)
+
+
+def test_spmd_dssum_weight_partition_invariant():
+    mesh1, dom1 = build(1, shape=(2, 2, 2), N=2)
+    mesh8, dom8 = build(8, shape=(2, 2, 2), N=2)
+    rng = np.random.default_rng(3)
+    vals = rng.random(mesh1.num_points)
+
+    def scatter(dom, mesh):
+        sd = dom.sharded
+        buf = np.zeros((sd.num_shards, sd.elems_per_shard,
+                        mesh.num_points_per_elem))
+        k = 0
+        for p in range(sd.num_shards):
+            ne = sd.elem_valid[p].sum()
+            buf[p, :ne] = vals[k:k + ne * mesh.num_points_per_elem].reshape(
+                ne, -1)
+            k += ne * mesh.num_points_per_elem
+        return dom.to_device_field(buf.reshape(sd.num_shards, -1))
+
+    w1 = reorder_to_global(mesh1, dom1,
+                           dom1.dssum_field(scatter(dom1, mesh1),
+                                            apply_weight=True))
+    w8 = reorder_to_global(mesh8, dom8,
+                           dom8.dssum_field(scatter(dom8, mesh8),
+                                            apply_weight=True))
+    np.testing.assert_allclose(w8, w1, atol=1e-13)
