@@ -91,10 +91,11 @@ def _reference_coords(elem_shape, poly_degree):
                for m in elem_shape]
     gdims = [m * poly_degree + 1 for m in elem_shape]
 
-    elem_grid = np.meshgrid(*[np.arange(m) for m in elem_shape], indexing="ij")
-    # element ordering: x fastest (ex + ey*mx + ez*mx*my), like a row-major
-    # ravel of (ez, ey, ex)
-    elem_multi = [g.ravel() for g in elem_grid]  # index per dim, ij order
+    # element ordering: x fastest (e = ex + ey*mx + ez*mx*my), i.e. a
+    # row-major ravel of the (ez, ey, ex) lattice — so contiguous element
+    # ranges are slabs of the last dimension (the SPMD partition unit)
+    rev = np.indices(tuple(reversed(elem_shape)))
+    elem_multi = [rev[dim - 1 - d].reshape(-1) for d in range(dim)]
 
     E = int(np.prod(elem_shape))
     shape_local = (n,) * dim  # (n_z, n_y, n_x) storage order
@@ -230,8 +231,8 @@ def _trilinear_nodes(elem_shape, poly_degree, vertex_transform):
         _, wy, wz = vertex_transform(vx, vy, vz)
         verts = np.stack([vx, wy, wz], axis=-1)
 
-    elem_grid = np.meshgrid(*[np.arange(m) for m in elem_shape], indexing="ij")
-    emulti = [g.ravel() for g in elem_grid]
+    rev = np.indices(tuple(reversed(elem_shape)))
+    emulti = [rev[dim - 1 - d].reshape(-1) for d in range(dim)]
     E = int(np.prod(elem_shape))
 
     # corner coords per element: (E,) + (2,)*dim + (dim,)

@@ -26,7 +26,26 @@ import numpy as np
 
 from .generator import GlobalMesh
 
-__all__ = ["ShardedDomain", "partition_mesh"]
+__all__ = ["ShardedDomain", "StructuredInfo", "partition_mesh"]
+
+
+@dataclass
+class StructuredInfo:
+    """Marks a shard partition as slab-aligned on a structured box lattice,
+    enabling the dense tensor-stencil dssum (ops/gather_scatter.
+    structured_dssum) instead of generic gather/scatter.
+
+    The element grid is (..., m1, m0) with m0 = x fastest; shards split the
+    *last* dimension into equal slabs (ghost slabs padded at the end).
+    """
+    elem_shape: tuple[int, ...]   # global (mx, my[, mz])
+    slab_elems: int               # elements along the sharded dim per shard
+    poly_degree: int
+
+    def local_grid(self):
+        """Local element-grid shape in storage order (slowest..fastest)."""
+        rev = tuple(reversed(self.elem_shape[:-1]))
+        return (self.slab_elems,) + rev
 
 
 @dataclass
@@ -51,6 +70,7 @@ class ShardedDomain:
     dirichlet_mask: np.ndarray       # (P, E*npe), 0 for pad points
     glo_num: np.ndarray              # (P, E, npe) int64 (pad -> -1)
     elem_valid: np.ndarray           # (P, E) bool
+    inv_degree_pts: np.ndarray       # (P, E*npe) 1/global multiplicity, pad 0
 
     gather_ids: np.ndarray           # (P, E*npe) int32 in [0, NN]; NN = trash
     num_local_nodes: int             # NN (max over shards)
@@ -60,6 +80,8 @@ class ShardedDomain:
     bnode_local: np.ndarray          # (P, B) int32 local node id (pad -> NN)
     bnode_global: np.ndarray         # (P, B) int32 interface id (pad -> BG)
     num_boundary_global: int         # BG
+
+    structured: "StructuredInfo | None" = None
 
     @property
     def num_points_per_elem(self) -> int:
@@ -74,16 +96,35 @@ class ShardedDomain:
         return self.geom.shape[1] * self.geom.shape[2]
 
 
-def partition_mesh(mesh: GlobalMesh, num_shards: int) -> ShardedDomain:
+def partition_mesh(mesh: GlobalMesh, num_shards: int,
+                   structured: bool | str = "auto") -> ShardedDomain:
+    """Partition a GlobalMesh into num_shards SPMD shards.
+
+    structured: True/"auto" aligns shard boundaries to slabs of the last
+    element-grid dimension, enabling the dense tensor-stencil dssum; False
+    forces the generic (unstructured) contiguous split.
+    """
     E_tot = mesh.num_elements
     npe = mesh.num_points_per_elem
     P = num_shards
-    E = -(-E_tot // P)  # padded elements per shard
 
-    # contiguous element chunks (the reference's per-rank files are likewise
-    # a static partition of the element list, domain.tpp:45)
-    bounds = np.linspace(0, E_tot, P + 1).astype(np.int64)
-    shard_of_elem = np.repeat(np.arange(P), np.diff(bounds))
+    use_structured = (structured is True or structured == "auto")
+    sinfo = None
+    if use_structured:
+        m_last = mesh.elem_shape[-1]
+        plane = int(np.prod(mesh.elem_shape[:-1]))  # elements per slab layer
+        slab_layers = -(-m_last // P)
+        E = slab_layers * plane                      # padded elements/shard
+        starts = np.arange(P + 1) * E
+        bounds = np.minimum(starts, E_tot).astype(np.int64)
+        sinfo = StructuredInfo(elem_shape=mesh.elem_shape,
+                               slab_elems=slab_layers,
+                               poly_degree=mesh.poly_degree)
+    else:
+        E = -(-E_tot // P)  # padded elements per shard
+        # contiguous element chunks (the reference's per-rank files are
+        # likewise a static partition of the element list, domain.tpp:45)
+        bounds = np.linspace(0, E_tot, P + 1).astype(np.int64)
 
     # which shards touch each global node -> interface nodes
     N_glob = mesh.num_nodes
@@ -107,6 +148,7 @@ def partition_mesh(mesh: GlobalMesh, num_shards: int) -> ShardedDomain:
     mask = np.zeros((P, E * npe))
     glo = np.full((P, E, npe), -1, dtype=np.int64)
     valid = np.zeros((P, E), dtype=bool)
+    inv_deg_pts = np.zeros((P, E * npe))
 
     gather_list, bl_list, bg_list, nn_sizes = [], [], [], []
 
@@ -119,6 +161,7 @@ def partition_mesh(mesh: GlobalMesh, num_shards: int) -> ShardedDomain:
         mask[p, :ne * npe] = mesh.dirichlet_mask[lo:hi].ravel()
         glo[p, :ne] = mesh.glo_num[lo:hi]
         valid[p, :ne] = True
+        inv_deg_pts[p, :ne * npe] = 1.0 / mesh.node_degree[lo:hi].ravel()
 
         gids = mesh.glo_num[lo:hi].ravel()
         uniq, inv = np.unique(gids, return_inverse=True)
@@ -161,6 +204,7 @@ def partition_mesh(mesh: GlobalMesh, num_shards: int) -> ShardedDomain:
         dirichlet_mask=mask,
         glo_num=glo,
         elem_valid=valid,
+        inv_degree_pts=inv_deg_pts,
         gather_ids=gather_ids,
         num_local_nodes=NN,
         node_valid=node_valid,
@@ -168,4 +212,5 @@ def partition_mesh(mesh: GlobalMesh, num_shards: int) -> ShardedDomain:
         bnode_local=bnode_local,
         bnode_global=bnode_global,
         num_boundary_global=BG,
+        structured=sinfo,
     )

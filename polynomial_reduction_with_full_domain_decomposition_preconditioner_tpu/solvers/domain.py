@@ -38,26 +38,28 @@ _HI = jax.lax.Precision.HIGHEST
 class DomainArrays:
     """Device-resident per-shard state (pytree). Per-shard fields carry a
     leading shard axis that shard_map splits; D is replicated."""
-    geom: jax.Array          # (P, E, npe, nG)
-    mask: jax.Array          # (P, E*npe)
-    gather_ids: jax.Array    # (P, E*npe) int32
-    inv_degree: jax.Array    # (P, NN+1)
-    bnode_local: jax.Array   # (P, B) int32
-    bnode_global: jax.Array  # (P, B) int32
-    D: jax.Array             # (n, n), replicated
+    geom: jax.Array            # (P, E, npe, nG)
+    mask: jax.Array            # (P, E*npe)
+    gather_ids: jax.Array      # (P, E*npe) int32
+    inv_degree: jax.Array      # (P, NN+1)
+    inv_degree_pts: jax.Array  # (P, E*npe)
+    bnode_local: jax.Array     # (P, B) int32
+    bnode_global: jax.Array    # (P, B) int32
+    D: jax.Array               # (n, n), replicated
 
 
 def _specs(axis: str):
     return DomainArrays(
         geom=P(axis), mask=P(axis), gather_ids=P(axis), inv_degree=P(axis),
-        bnode_local=P(axis), bnode_global=P(axis), D=P())
+        inv_degree_pts=P(axis), bnode_local=P(axis), bnode_global=P(axis),
+        D=P())
 
 
 def _squeeze_shard(a: DomainArrays) -> DomainArrays:
     return DomainArrays(
         geom=a.geom[0], mask=a.mask[0], gather_ids=a.gather_ids[0],
-        inv_degree=a.inv_degree[0], bnode_local=a.bnode_local[0],
-        bnode_global=a.bnode_global[0], D=a.D)
+        inv_degree=a.inv_degree[0], inv_degree_pts=a.inv_degree_pts[0],
+        bnode_local=a.bnode_local[0], bnode_global=a.bnode_global[0], D=a.D)
 
 
 class Domain:
@@ -101,6 +103,7 @@ class Domain:
             mask=jnp.asarray(sharded.dirichlet_mask, dtype=dtype),
             gather_ids=jnp.asarray(sharded.gather_ids),
             inv_degree=jnp.asarray(sharded.inv_degree, dtype=dtype),
+            inv_degree_pts=jnp.asarray(sharded.inv_degree_pts, dtype=dtype),
             bnode_local=jnp.asarray(sharded.bnode_local),
             bnode_global=jnp.asarray(sharded.bnode_global),
             D=jnp.asarray(D),
@@ -134,16 +137,27 @@ class Domain:
                                      arrays.D, self.dim)
             return au.reshape(u.shape)
 
-        def dssum(u, apply_mask=True, apply_weight=False):
-            return gs.dssum(
-                u, gather_ids=arrays.gather_ids, mask=arrays.mask,
-                inv_degree=arrays.inv_degree,
-                bnode_local=arrays.bnode_local,
-                bnode_global=arrays.bnode_global,
-                num_local_nodes=st.num_local_nodes,
-                num_boundary_global=st.num_boundary_global,
-                axis_name=axis, apply_mask=apply_mask,
-                apply_weight=apply_weight)
+        if st.structured is not None:
+            local_grid = st.structured.local_grid()
+            n = st.poly_degree + 1
+
+            def dssum(u, apply_mask=True, apply_weight=False):
+                return gs.structured_dssum(
+                    u, local_grid=local_grid, n=n, dim=self.dim,
+                    mask=arrays.mask, inv_degree_pts=arrays.inv_degree_pts,
+                    axis_name=axis, apply_mask=apply_mask,
+                    apply_weight=apply_weight)
+        else:
+            def dssum(u, apply_mask=True, apply_weight=False):
+                return gs.dssum(
+                    u, gather_ids=arrays.gather_ids, mask=arrays.mask,
+                    inv_degree=arrays.inv_degree,
+                    bnode_local=arrays.bnode_local,
+                    bnode_global=arrays.bnode_global,
+                    num_local_nodes=st.num_local_nodes,
+                    num_boundary_global=st.num_boundary_global,
+                    axis_name=axis, apply_mask=apply_mask,
+                    apply_weight=apply_weight)
 
         def dot(a, b):
             return gs.psum_scalar(
@@ -159,8 +173,21 @@ class Domain:
 
     # ---- solvers ----
 
-    def _solve_impl(self, arrays, f, precond_builder, method, max_iterations,
-                    num_vectors, tolerance, use_relative):
+    def _squeeze_extra(self, extra, extra_specs):
+        if extra is None:
+            return None
+        ax = self.axis_name
+
+        def sq(s, x):
+            return x[0] if s == P(ax) else x
+
+        # map over the spec tree first: PartitionSpec is a tuple subclass,
+        # so it must be declared a leaf explicitly
+        return jax.tree.map(sq, extra_specs, extra,
+                            is_leaf=lambda s: isinstance(s, P))
+
+    def _solve_impl(self, arrays, extra, f, precond_builder, method,
+                    max_iterations, num_vectors, tolerance, use_relative):
         operator, dssum, dot, dot2 = self._ops(arrays)
         dssum_plain = lambda r: dssum(r, apply_mask=True, apply_weight=False)
         if precond_builder is None:
@@ -168,7 +195,8 @@ class Domain:
             # (domain.tpp:650,801)
             precond = dssum_plain
         else:
-            precond = precond_builder(arrays, operator, dssum, dot)
+            precond = precond_builder(arrays, extra,
+                                      (operator, dssum, dot, dot2))
         if method == "fcg":
             return krylov.fcg(operator, precond, dssum_plain, dot, dot2, f,
                               max_iterations=max_iterations,
@@ -181,27 +209,41 @@ class Domain:
                                  use_relative=use_relative)
         raise ValueError(f"unknown method {method!r}")
 
-    def solver(self, method="fcg", precond_builder=None, max_iterations=500,
-               num_vectors=20, tolerance=None, use_relative=True):
+    def solver(self, method="fcg", precond=None, precond_builder=None,
+               max_iterations=500, num_vectors=20, tolerance=None,
+               use_relative=True):
         """Build a jitted solve function f -> KrylovResult.
 
-        precond_builder: None (reference 'unpreconditioned' QQt path) or a
-        callable (arrays, operator, dssum, dot) -> (r -> z) returning a
-        continuous, stitched preconditioned vector.
+        precond: a Preconditioner (solvers/preconditioners.py) carrying its
+          own device arrays + shard specs, or None (the reference
+          'unpreconditioned' QQt path, domain.tpp:650,801).
+        precond_builder: legacy shorthand — a bare builder with no extra
+          arrays: builder(arrays, None, ops) -> (r -> z).
         """
         if tolerance is None:
             tolerance = 1.0e-7 if self.dtype == jnp.float64 else 1.0e-4
 
-        impl = partial(self._solve_impl, precond_builder=precond_builder,
+        if precond is not None:
+            builder = precond.build
+            extra = precond.extra
+            extra_specs = (precond.extra_specs(self.axis_name)
+                           if self.spmd else None)
+        else:
+            builder = precond_builder
+            extra, extra_specs = None, None
+
+        impl = partial(self._solve_impl, precond_builder=builder,
                        method=method, max_iterations=max_iterations,
                        num_vectors=num_vectors, tolerance=tolerance,
                        use_relative=use_relative)
         if self.spmd:
             mesh = self.device_mesh
             ax = self.axis_name
+            specs_cap = extra_specs
 
-            def spmd_impl(arrays, f):
-                res = impl(_squeeze_shard(arrays), f[0])
+            def spmd_impl(arrays, extra, f):
+                res = impl(_squeeze_shard(arrays),
+                           self._squeeze_extra(extra, specs_cap), f[0])
                 return krylov.KrylovResult(
                     u=res.u[None], iterations=res.iterations,
                     residual_history=res.residual_history,
@@ -211,10 +253,10 @@ class Domain:
                 u=P(ax), iterations=P(), residual_history=P(),
                 r0_norm=P(), converged=P())
             fn = jax.shard_map(spmd_impl, mesh=mesh,
-                               in_specs=(_specs(ax), P(ax)),
+                               in_specs=(_specs(ax), extra_specs, P(ax)),
                                out_specs=out_specs)
-            return jax.jit(lambda f: fn(self.arrays, f))
-        return jax.jit(lambda f: impl(self.arrays, f))
+            return jax.jit(lambda f: fn(self.arrays, extra, f))
+        return jax.jit(lambda f: impl(self.arrays, extra, f))
 
     # ---- fields and manufactured solutions ----
 

@@ -1,0 +1,47 @@
+"""CSR assembly + ELL SpMV vs scipy (the reference's csr_matrix layer)."""
+
+import numpy as np
+import jax.numpy as jnp
+import scipy.sparse as sp
+import pytest
+
+from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.ops import csr
+
+
+def random_csr(m, n, density, seed):
+    rng = np.random.default_rng(seed)
+    nnz = int(m * n * density)
+    rows = rng.integers(0, m, nnz)
+    cols = rng.integers(0, n, nnz)
+    vals = rng.standard_normal(nnz)
+    return csr.assemble_csr(rows, cols, vals, (m, n))
+
+
+def test_assemble_sums_duplicates():
+    m = csr.assemble_csr([0, 0, 1], [1, 1, 0], [2.0, 3.0, 4.0], (2, 2))
+    assert m[0, 1] == 5.0 and m[1, 0] == 4.0 and m.nnz == 2
+
+
+def test_assemble_drop_tol():
+    m = csr.assemble_csr([0, 1], [0, 1], [1e-15, 1.0], (2, 2), drop_tol=1e-12)
+    assert m.nnz == 1
+
+
+@pytest.mark.parametrize("shape,density", [((50, 70), 0.05), ((200, 200), 0.02),
+                                           ((33, 17), 0.3), ((5, 5), 1.0)])
+@pytest.mark.parametrize("sort_rows", [True, False])
+def test_ell_spmv_matches_scipy(shape, density, sort_rows):
+    m = random_csr(*shape, density, seed=1)
+    ell = csr.ell_from_csr(m, sort_rows=sort_rows, dtype=np.float64)
+    x = np.random.default_rng(2).standard_normal(shape[1])
+    y = np.asarray(csr.ell_spmv(ell, jnp.asarray(x)))
+    np.testing.assert_allclose(y, m @ x, atol=1e-12)
+
+
+def test_ell_empty_rows():
+    m = sp.csr_matrix((np.array([1.0]), (np.array([3]), np.array([2]))),
+                      shape=(5, 4))
+    ell = csr.ell_from_csr(m, dtype=np.float64)
+    x = np.arange(4.0)
+    y = np.asarray(csr.ell_spmv(ell, jnp.asarray(x)))
+    np.testing.assert_allclose(y, m @ x, atol=1e-14)

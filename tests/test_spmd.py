@@ -89,10 +89,10 @@ def test_spmd_dssum_weight_partition_invariant():
                         mesh.num_points_per_elem))
         k = 0
         for p in range(sd.num_shards):
-            ne = sd.elem_valid[p].sum()
-            buf[p, :ne] = vals[k:k + ne * mesh.num_points_per_elem].reshape(
-                ne, -1)
-            k += ne * mesh.num_points_per_elem
+            ne = int(sd.elem_valid[p].sum())
+            npe = mesh.num_points_per_elem
+            buf[p, :ne] = vals[k:k + ne * npe].reshape(ne, npe)
+            k += ne * npe
         return dom.to_device_field(buf.reshape(sd.num_shards, -1))
 
     w1 = reorder_to_global(mesh1, dom1,
