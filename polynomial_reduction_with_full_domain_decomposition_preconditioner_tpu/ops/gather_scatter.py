@@ -80,72 +80,67 @@ def dssum(u_pts, *, gather_ids, mask, inv_degree, bnode_local, bnode_global,
     return out
 
 
-def _face_sum(U, elem_axis: int, node_axis: int):
-    """Symmetric coincident-face summation along one lattice direction.
+def _roll_masks(M: int, n: int, dtype):
+    """hi[X]=1 iff X is the last node of a non-final element (receives from
+    X+1); lo[X]=1 iff X is the first node of a non-initial element."""
+    import numpy as np
+    hi = np.zeros(M); hi[n - 1::n] = 1.0; hi[M - 1] = 0.0
+    lo = np.zeros(M); lo[0::n] = 1.0; lo[0] = 0.0
+    return jnp.asarray(hi, dtype), jnp.asarray(lo, dtype)
 
-    For adjacent elements e, e+1 along elem_axis, the shared face (last
-    node plane of e == first node plane of e+1) receives the sum of both.
-    """
-    n_elems = U.shape[elem_axis]
-    if n_elems < 2:
-        return U
-    idx_lo = [slice(None)] * U.ndim
-    idx_hi = [slice(None)] * U.ndim
-    idx_lo[elem_axis] = slice(1, None)
-    idx_lo[node_axis] = 0
-    idx_hi[elem_axis] = slice(0, -1)
-    idx_hi[node_axis] = U.shape[node_axis] - 1
-    s = U[tuple(idx_lo)] + U[tuple(idx_hi)]
-    U = U.at[tuple(idx_lo)].set(s)
-    U = U.at[tuple(idx_hi)].set(s)
+
+def lattice_face_sum(U, n: int, axes=None):
+    """Coincident-face summation on a point-lattice array, per direction:
+    ``U += hi_d * roll(U,-1,d) + lo_d * roll(U,+1,d)`` — two lane
+    rotations and two masked adds. No gathers, no minor-axis slicing
+    (arbitrary-index gather/scatter and (..., n, n) minor-dim slicing both
+    lower to catastrophically slow TPU code; measured 17ms / 2.8ms vs
+    ~0.13ms for this form on 885k points)."""
+    dtype = U.dtype
+    ndim = U.ndim
+    for ax in (axes if axes is not None else range(ndim - 1, -1, -1)):
+        M = U.shape[ax]
+        hi, lo = _roll_masks(M, n, dtype)
+        shape = [1] * ndim
+        shape[ax] = M
+        hi = hi.reshape(shape)
+        lo = lo.reshape(shape)
+        U = U + hi * jnp.roll(U, -1, axis=ax) + lo * jnp.roll(U, 1, axis=ax)
     return U
 
 
-def structured_dssum(u_pts, *, local_grid, n: int, dim: int, mask,
+def slab_exchange_add(U, axis_name):
+    """Add the neighboring shards' boundary planes of the slab (leading
+    lattice) direction: one dense ppermute each way — the reference's
+    host-side gslib exchange (domain.tpp:590-594) entirely in HBM."""
+    if axis_name is None:
+        return U
+    nshards = jax.lax.axis_size(axis_name)
+    if nshards <= 1:
+        return U
+    up = [(i, i + 1) for i in range(nshards - 1)]
+    down = [(i + 1, i) for i in range(nshards - 1)]
+    from_below = jax.lax.ppermute(U[-1], axis_name, up)
+    from_above = jax.lax.ppermute(U[0], axis_name, down)
+    U = U.at[0].add(from_below)
+    U = U.at[-1].add(from_above)
+    return U
+
+
+def structured_dssum(u_lat, *, lattice_shape, n: int, dim: int, mask,
                      inv_degree_pts, axis_name,
                      apply_mask: bool = True, apply_weight: bool = False):
     """Direct stiffness summation on a structured box lattice.
 
-    The generic gather/scatter formulation is TPU-hostile (arbitrary-index
-    gathers lower to near-serial code); on a conforming tensor-product
-    lattice QQt factors into dimension-by-dimension coincident-face sums —
-    dense static-slice adds the VPU eats whole. Inter-shard assembly (the
-    lattice is slab-partitioned along its last dimension) is one dense
-    face-plane ``ppermute`` each way: the reference's gslib exchange
-    (domain.tpp:590-594) becomes two neighbor messages in HBM.
-
-    local_grid: per-shard element-grid shape in storage order, e.g.
-    (mz_loc, my, mx) in 3D; u is (prod(local_grid) * n^dim,).
+    Fields live natively in the point-lattice layout (flat, index
+    X = (Z*My + Y)*Mx + X with X_d = e_d*n + i_d): large contiguous minor
+    dims tile well on TPU, face sums are lane rolls, and the slab boundary
+    is a contiguous plane. mask / inv_degree_pts are lattice-ordered.
     """
-    grid = tuple(local_grid)
-    U = u_pts.reshape(grid + (n,) * dim)
-    g = len(grid)
-
-    # x: fastest element axis (last of grid), node axis = last
-    # y: next, node axis = second-to-last, etc. Process x..z; the sharded
-    # direction (element axis 0 / node axis g) comes last so its cross-
-    # shard exchange sees fully summed transverse data.
-    for d in range(dim):
-        elem_axis = g - 1 - d
-        node_axis = g + dim - 1 - d
-        U = _face_sum(U, elem_axis, node_axis)
-
-    if axis_name is not None:
-        # cross-shard faces of the slab direction (element axis 0)
-        nshards = jax.lax.axis_size(axis_name)
-        if nshards > 1:
-            top = U[-1].take(indices=n - 1, axis=dim - 1)   # (grid[1:], n^(dim-1))
-            bot = U[0].take(indices=0, axis=dim - 1)
-            up = [(i, i + 1) for i in range(nshards - 1)]
-            down = [(i + 1, i) for i in range(nshards - 1)]
-            from_below = jax.lax.ppermute(top, axis_name, up)
-            from_above = jax.lax.ppermute(bot, axis_name, down)
-            idx_bot = (0,) + (slice(None),) * (g - 1) + (0,)
-            idx_top = (U.shape[0] - 1,) + (slice(None),) * (g - 1) + (n - 1,)
-            U = U.at[idx_bot].add(from_below)
-            U = U.at[idx_top].add(from_above)
-
-    out = U.reshape(u_pts.shape)
+    U = u_lat.reshape(lattice_shape)
+    U = lattice_face_sum(U, n)
+    U = slab_exchange_add(U, axis_name)
+    out = U.reshape(u_lat.shape)
     if apply_weight:
         out = out * inv_degree_pts
     if apply_mask:

@@ -17,7 +17,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["tensor_apply", "prolongate", "restrict"]
+__all__ = ["tensor_apply", "prolongate", "restrict", "lattice_tensor_apply"]
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -35,6 +35,27 @@ def tensor_apply(u, M, dim: int):
         # passes restore the original axis order with all axes transformed
         U = jnp.einsum("oi,e...i->eo...", M, U, precision=_HI)
     return U.reshape(E, n_out ** dim)
+
+
+def lattice_tensor_apply(U, M, dim: int):
+    """Apply the 1-D operator M (n_out, n_in) per element along every axis
+    of a point-lattice array (ops/sem.lattice_from_elements layout).
+
+    U: lattice shape (m_d * n_in, ...); returns (m_d * n_out, ...). Used
+    for order transfer between lattices of different polynomial order on
+    the same element grid — all dense block-diagonal MXU contractions.
+    """
+    n_out, n_in = M.shape
+    for axis in range(dim):
+        shape = U.shape
+        m = shape[axis] // n_in
+        split = shape[:axis] + (m, n_in) + shape[axis + 1:]
+        V = U.reshape(split)
+        V = jnp.moveaxis(V, axis + 1, -1)
+        V = jnp.einsum("oi,...i->...o", M, V, precision=_HI)
+        V = jnp.moveaxis(V, -1, axis + 1)
+        U = V.reshape(shape[:axis] + (m * n_out,) + shape[axis + 1:])
+    return U
 
 
 def prolongate(u_c, J, dim: int):

@@ -22,7 +22,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["stiffness_apply", "stiffness_diagonal"]
+__all__ = ["stiffness_apply", "stiffness_diagonal",
+           "stiffness_apply_lattice", "lattice_from_elements",
+           "elements_from_lattice"]
 
 # f32 inputs stay f32 on the MXU (3-pass); bf16 fast path is a config knob
 # handled by callers via dtype of the operands.
@@ -81,6 +83,108 @@ def stiffness_apply(u, geom, D, dim: int):
         Au += jnp.swapaxes(_contract_last(Dt, jnp.swapaxes(Wt, 1, 3)), 1, 3)
         return Au.reshape(E, n ** 3)
 
+    raise ValueError(f"dim must be 2 or 3, got {dim}")
+
+
+def lattice_from_elements(u, grid, n: int, dim: int):
+    """Element-ordered (E, n^dim) or (E*n^dim,) -> point-lattice array.
+
+    grid = local element grid in storage order (slowest..fastest, e.g.
+    (mz, my, mx)); returns shape (mz*n, my*n, mx*n) with index
+    X_d = e_d * n + i_d. The lattice is the TPU-native field layout for
+    structured domains: large contiguous minor dimensions (good tiling),
+    face sums as lane rolls, slab boundaries as contiguous planes.
+    """
+    grid = tuple(grid)
+    U = u.reshape(grid + (n,) * dim)
+    perm = []
+    for d in range(dim):
+        perm += [d, dim + d]
+    return U.transpose(perm).reshape(tuple(g * n for g in grid))
+
+
+def elements_from_lattice(U, grid, n: int, dim: int):
+    """Inverse of lattice_from_elements; returns flat (E*n^dim,)."""
+    grid = tuple(grid)
+    V = U.reshape(sum(((g, n) for g in grid), ()))
+    perm = [2 * d for d in range(dim)] + [2 * d + 1 for d in range(dim)]
+    return V.transpose(perm).reshape(-1)
+
+
+def _dmul(D, U, axis: int, n: int):
+    """Block-diagonal derivative along one lattice axis: split (m*n) ->
+    (m, n), contract n with D, merge back. One batched MXU contraction."""
+    shape = U.shape
+    m = shape[axis] // n
+    split = shape[:axis] + (m, n) + shape[axis + 1:]
+    V = U.reshape(split)
+    V = jnp.moveaxis(V, axis + 1, -1)
+    V = jnp.einsum("ai,...i->...a", D, V, precision=_PREC)
+    V = jnp.moveaxis(V, -1, axis + 1)
+    return V.reshape(shape)
+
+
+def stiffness_apply_lattice(U, G, D, dim: int):
+    """SEM stiffness apply on point-lattice fields.
+
+    U: (Mz, My, Mx) (or (My, Mx) in 2D), G: U.shape + (nG,), D: (n, n).
+    Same math as stiffness_apply (domain.okl:5-98) in the lattice layout —
+    avoids the element<->lattice transposes in the hot path.
+    """
+    n = D.shape[0]
+    Dt = D.T
+    if dim == 2:
+        Dr = _dmul(D, U, 1, n)
+        Ds = _dmul(D, U, 0, n)
+        Wr = G[..., 0] * Dr + G[..., 2] * Ds
+        Ws = G[..., 2] * Dr + G[..., 1] * Ds
+        return _dmul(Dt, Wr, 1, n) + _dmul(Dt, Ws, 0, n)
+    if dim == 3:
+        Dr = _dmul(D, U, 2, n)
+        Ds = _dmul(D, U, 1, n)
+        Dt_ = _dmul(D, U, 0, n)
+        Wr = G[..., 0] * Dr + G[..., 3] * Ds + G[..., 4] * Dt_
+        Ws = G[..., 3] * Dr + G[..., 1] * Ds + G[..., 5] * Dt_
+        Wt = G[..., 4] * Dr + G[..., 5] * Ds + G[..., 2] * Dt_
+        return (_dmul(Dt, Wr, 2, n) + _dmul(Dt, Ws, 1, n)
+                + _dmul(Dt, Wt, 0, n))
+    raise ValueError(f"dim must be 2 or 3, got {dim}")
+
+
+def stiffness_diagonal_lattice(G, D, dim: int):
+    """Exact matrix-free operator diagonal in the point-lattice layout.
+
+    Same closed form as stiffness_diagonal, expressed as block-diagonal
+    contractions with D*D plus tiled-diagonal cross terms.
+    """
+    n = D.shape[0]
+    D2t = (D * D).T
+    d = jnp.diagonal(D)
+
+    def tiled_diag(axis, shape):
+        M = shape[axis]
+        v = jnp.tile(d, M // n)
+        s = [1] * len(shape)
+        s[axis] = M
+        return v.reshape(s)
+
+    if dim == 2:
+        shape = G.shape[:-1]
+        t_r = _dmul(D2t, G[..., 0], 1, n)
+        t_s = _dmul(D2t, G[..., 1], 0, n)
+        t_rs = 2.0 * tiled_diag(1, shape) * tiled_diag(0, shape) * G[..., 2]
+        return t_r + t_s + t_rs
+    if dim == 3:
+        shape = G.shape[:-1]
+        t_r = _dmul(D2t, G[..., 0], 2, n)
+        t_s = _dmul(D2t, G[..., 1], 1, n)
+        t_t = _dmul(D2t, G[..., 2], 0, n)
+        di = tiled_diag(2, shape)
+        dj = tiled_diag(1, shape)
+        dk = tiled_diag(0, shape)
+        t_cross = 2.0 * (di * dj * G[..., 3] + di * dk * G[..., 4]
+                         + dj * dk * G[..., 5])
+        return t_r + t_s + t_t + t_cross
     raise ValueError(f"dim must be 2 or 3, got {dim}")
 
 

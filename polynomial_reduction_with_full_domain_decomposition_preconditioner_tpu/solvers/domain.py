@@ -98,12 +98,38 @@ class Domain:
         from ..utils.gll import diff_matrix
         D = diff_matrix(sharded.poly_degree + 1).astype(dtype)
 
+        # Structured domains keep device fields in the point-lattice layout
+        # (see ops/gather_scatter.structured_dssum): convert the per-shard
+        # element-ordered setup arrays once on the host.
+        n = sharded.poly_degree + 1
+        if sharded.structured is not None:
+            grid = sharded.structured.local_grid()
+            self.local_grid = grid
+            self.lattice_shape = tuple(g * n for g in grid)
+
+            geom = np.stack([self._host_elem_to_lattice(sharded.geom[p])
+                             for p in range(sharded.num_shards)])
+            mask = np.stack([self._host_elem_to_lattice(
+                sharded.dirichlet_mask[p]).reshape(-1)
+                for p in range(sharded.num_shards)])
+            invd = np.stack([self._host_elem_to_lattice(
+                sharded.inv_degree_pts[p]).reshape(-1)
+                for p in range(sharded.num_shards)])
+        else:
+            self.local_grid = None
+            self.lattice_shape = None
+            geom = sharded.geom.reshape(sharded.num_shards, -1,
+                                        sharded.num_points_per_elem,
+                                        sharded.geom.shape[-1])
+            mask = sharded.dirichlet_mask
+            invd = sharded.inv_degree_pts
+
         arrays = DomainArrays(
-            geom=jnp.asarray(sharded.geom, dtype=dtype),
-            mask=jnp.asarray(sharded.dirichlet_mask, dtype=dtype),
+            geom=jnp.asarray(geom, dtype=dtype),
+            mask=jnp.asarray(mask, dtype=dtype),
             gather_ids=jnp.asarray(sharded.gather_ids),
             inv_degree=jnp.asarray(sharded.inv_degree, dtype=dtype),
-            inv_degree_pts=jnp.asarray(sharded.inv_degree_pts, dtype=dtype),
+            inv_degree_pts=jnp.asarray(invd, dtype=dtype),
             bnode_local=jnp.asarray(sharded.bnode_local),
             bnode_global=jnp.asarray(sharded.bnode_global),
             D=jnp.asarray(D),
@@ -125,29 +151,69 @@ class Domain:
         else:
             self.field_sharding = None
 
+    # ---- layout conversion (host, numpy) ----
+
+    def _host_elem_to_lattice(self, arr):
+        """Element-ordered (E, npe[, F]) or flat -> lattice (M..., [F])."""
+        grid = self.local_grid
+        n = self.poly_degree + 1
+        dim = self.dim
+        E = int(np.prod(grid))
+        a = np.asarray(arr)
+        if a.ndim == 1:
+            a = a.reshape(E, n ** dim)
+        else:
+            a = a.reshape((E, n ** dim) + a.shape[2:])
+        F = a.shape[2:]
+        U = a.reshape(tuple(grid) + (n,) * dim + F)
+        perm = []
+        for d in range(dim):
+            perm += [d, dim + d]
+        perm += [2 * dim + k for k in range(len(F))]
+        lat = tuple(g * n for g in grid)
+        return U.transpose(perm).reshape(lat + F)
+
+    def _host_lattice_to_elem(self, U):
+        """Lattice (M..., [F]) -> element-ordered flat (E*npe, [F])."""
+        grid = self.local_grid
+        n = self.poly_degree + 1
+        dim = self.dim
+        U = np.asarray(U)
+        F = U.shape[dim:]
+        V = U.reshape(sum(((g, n) for g in grid), ()) + F)
+        perm = ([2 * d for d in range(dim)] + [2 * d + 1 for d in range(dim)]
+                + [2 * dim + k for k in range(len(F))])
+        E = int(np.prod(grid))
+        return V.transpose(perm).reshape((E * n ** dim,) + F)
+
     # ---- closure builders (shard-local SPMD code) ----
 
     def _ops(self, arrays: DomainArrays):
         st = self.sharded
         axis = self.axis_name
 
-        def operator(u):
-            E, npe = arrays.geom.shape[0], arrays.geom.shape[1]
-            au = sem.stiffness_apply(u.reshape(E, npe), arrays.geom,
-                                     arrays.D, self.dim)
-            return au.reshape(u.shape)
-
         if st.structured is not None:
-            local_grid = st.structured.local_grid()
             n = st.poly_degree + 1
+            lat = self.lattice_shape
+
+            def operator(u):
+                au = sem.stiffness_apply_lattice(
+                    u.reshape(lat), arrays.geom, arrays.D, self.dim)
+                return au.reshape(u.shape)
 
             def dssum(u, apply_mask=True, apply_weight=False):
                 return gs.structured_dssum(
-                    u, local_grid=local_grid, n=n, dim=self.dim,
+                    u, lattice_shape=lat, n=n, dim=self.dim,
                     mask=arrays.mask, inv_degree_pts=arrays.inv_degree_pts,
                     axis_name=axis, apply_mask=apply_mask,
                     apply_weight=apply_weight)
         else:
+            def operator(u):
+                E, npe = arrays.geom.shape[0], arrays.geom.shape[1]
+                au = sem.stiffness_apply(u.reshape(E, npe), arrays.geom,
+                                         arrays.D, self.dim)
+                return au.reshape(u.shape)
+
             def dssum(u, apply_mask=True, apply_weight=False):
                 return gs.dssum(
                     u, gather_ids=arrays.gather_ids, mask=arrays.mask,
@@ -267,11 +333,26 @@ class Domain:
         return (st.points_per_shard,)
 
     def to_device_field(self, host_field: np.ndarray):
-        x = jnp.asarray(host_field.reshape(self.points_shape()),
-                        dtype=self.dtype)
+        """Element-ordered host values -> device field (lattice layout for
+        structured domains)."""
+        P = self.sharded.num_shards
+        vals = np.asarray(host_field).reshape(P, -1)
+        if self.sharded.structured is not None:
+            vals = np.stack([self._host_elem_to_lattice(v).reshape(-1)
+                             for v in vals])
+        x = jnp.asarray(vals.reshape(self.points_shape()), dtype=self.dtype)
         if self.spmd:
             x = jax.device_put(x, self.field_sharding)
         return x
+
+    def from_device_field(self, u) -> np.ndarray:
+        """Device field -> element-ordered host values, shape (P, E*npe)."""
+        P = self.sharded.num_shards
+        vals = np.asarray(u).reshape(P, -1)
+        if self.sharded.structured is not None:
+            vals = np.stack([self._host_lattice_to_elem(
+                v.reshape(self.lattice_shape)) for v in vals])
+        return vals
 
     def _jit_pointwise(self, name, run):
         """Cache a jitted (arrays, field) -> field function under `name`."""

@@ -40,19 +40,29 @@ class Preconditioner:
         return self._extra_specs(axis_name)
 
 
-def jacobi(dim: int) -> Preconditioner:
+def _domain_inv_diag(domain, arrays, dssum):
+    """Continuous inverse assembled diagonal as a point field."""
+    if domain.sharded.structured is not None:
+        diag = sem.stiffness_diagonal_lattice(arrays.geom, arrays.D,
+                                              domain.dim).reshape(-1)
+    else:
+        diag = sem.stiffness_diagonal(arrays.geom, arrays.D,
+                                      domain.dim).reshape(-1)
+    diag_c = dssum(diag, apply_mask=False)
+    return jnp.where(diag_c > 0, 1.0 / diag_c, 0.0)
+
+
+def jacobi(domain) -> Preconditioner:
     """Diagonal (Jacobi) preconditioning: z = Q diag(A_assembled)^-1 Qt r.
 
-    Uses the exact matrix-free diagonal (ops/sem.stiffness_diagonal) summed
-    to nodes; both QQt r and QQt diag are continuous point fields, so their
-    ratio is continuous.
+    Uses the exact matrix-free diagonal (ops/sem.stiffness_diagonal*)
+    summed to nodes; both QQt r and QQt diag are continuous point fields,
+    so their ratio is continuous.
     """
 
     def build(arrays, extra, ops):
         operator, dssum, dot, dot2 = ops
-        diag_pts = sem.stiffness_diagonal(arrays.geom, arrays.D, dim)
-        diag_c = dssum(diag_pts.reshape(-1), apply_mask=False)
-        inv_diag = jnp.where(diag_c > 0, 1.0 / diag_c, 0.0)
+        inv_diag = _domain_inv_diag(domain, arrays, dssum)
 
         def precond(r):
             return dssum(r, apply_mask=True) * inv_diag
@@ -63,21 +73,48 @@ def jacobi(dim: int) -> Preconditioner:
 
 
 def _level_arrays(domain, orders, mesh_builder):
-    """Device arrays for each coarse order on the same element lattice."""
+    """Lattice-layout device arrays for each coarse order on the same
+    element grid."""
     from ..mesh.partition import partition_mesh
 
     sd_f = domain.sharded
+    grid = sd_f.structured.local_grid()
+    dim = domain.dim
     levels = []
     for N_c in orders:
         mesh_c = mesh_builder(N_c)
         sd = partition_mesh(mesh_c, sd_f.num_shards, structured=True)
+        n_c = N_c + 1
+
+        def to_lat(arr_p, trailing=0):
+            E = int(np.prod(grid))
+            a = np.asarray(arr_p)
+            if trailing:
+                a = a.reshape((E, n_c ** dim) + a.shape[2:])
+            else:
+                a = a.reshape(E, n_c ** dim)
+            F = a.shape[2:]
+            U = a.reshape(tuple(grid) + (n_c,) * dim + F)
+            perm = []
+            for d in range(dim):
+                perm += [d, dim + d]
+            perm += [2 * dim + k for k in range(len(F))]
+            lat = tuple(g * n_c for g in grid)
+            return U.transpose(perm).reshape(lat + F)
+
+        P_shards = sd.num_shards
+        geom = np.stack([to_lat(sd.geom[p], trailing=1)
+                         for p in range(P_shards)])
+        mask = np.stack([to_lat(sd.dirichlet_mask[p]).reshape(-1)
+                         for p in range(P_shards)])
+        invd = np.stack([to_lat(sd.inv_degree_pts[p]).reshape(-1)
+                         for p in range(P_shards)])
         sq = (lambda x: x) if domain.spmd else (lambda x: x[0])
         lvl = {
-            "geom": jnp.asarray(sq(sd.geom), dtype=domain.dtype),
-            "mask": jnp.asarray(sq(sd.dirichlet_mask), dtype=domain.dtype),
-            "inv_degree_pts": jnp.asarray(sq(sd.inv_degree_pts),
-                                          dtype=domain.dtype),
-            "D": jnp.asarray(diff_matrix(N_c + 1), dtype=domain.dtype),
+            "geom": jnp.asarray(sq(geom), dtype=domain.dtype),
+            "mask": jnp.asarray(sq(mask), dtype=domain.dtype),
+            "inv_degree_pts": jnp.asarray(sq(invd), dtype=domain.dtype),
+            "D": jnp.asarray(diff_matrix(n_c), dtype=domain.dtype),
         }
         if domain.spmd:
             spec = {"geom": P(domain.axis_name), "mask": P(domain.axis_name),
@@ -100,11 +137,17 @@ def pmultigrid(domain, mesh_builder, poly_reduction: int = None,
     284-366), arranged as a V-cycle: damped-Jacobi smoothing per level,
     adjoint restriction of the non-assembled residual, a fixed number of
     Jacobi-CG iterations at order 1 (standing in for the reference's AMG
-    coarse solve until amg/ lands), and interpolation back up.
+    coarse solve until amg/ lands), and interpolation back up. All levels
+    live in the point-lattice layout; order transfer is block-diagonal MXU
+    contractions (ops/interp.lattice_tensor_apply).
 
-    mesh_builder(N_c) must return the *same element lattice* meshed at
-    order N_c (e.g. partial(kershaw_mesh, shape, epsilon=eps)).
+    mesh_builder(N_c) must return the *same element grid* meshed at order
+    N_c (e.g. partial(kershaw_mesh, shape, epsilon=eps)).
     """
+    if domain.sharded.structured is None:
+        raise NotImplementedError(
+            "pmultigrid currently requires a structured partition")
+
     N = domain.poly_degree
     if orders is None:
         r = poly_reduction if poly_reduction else max(N - 1, 1)
@@ -131,46 +174,37 @@ def pmultigrid(domain, mesh_builder, poly_reduction: int = None,
         return {"levels": lev, "J": [P() for _ in Js]}
 
     dim = domain.dim
-    st = domain.sharded
+    grid = domain.local_grid
     axis = lambda: domain.axis_name
-    local_grid = (st.structured.local_grid()
-                  if st.structured is not None else None)
-    if local_grid is None:
-        raise NotImplementedError(
-            "pmultigrid currently requires a structured partition")
+    lat_shapes = [tuple(g * (o + 1) for g in grid) for o in all_orders]
 
     def build(arrays, extra, ops):
         operator_f, dssum_f, dot, dot2 = ops
         ax = axis()
 
-        def level_ops(lvl, n_c):
+        def level_ops(lvl, n_c, lat):
             def op(u):
-                E = lvl["geom"].shape[0]
-                return sem.stiffness_apply(
-                    u.reshape(E, -1), lvl["geom"], lvl["D"], dim
+                return sem.stiffness_apply_lattice(
+                    u.reshape(lat), lvl["geom"], lvl["D"], dim
                 ).reshape(u.shape)
 
             def ds(u, apply_mask=True, apply_weight=False):
                 return gs.structured_dssum(
-                    u, local_grid=local_grid, n=n_c, dim=dim,
-                    mask=lvl["mask"].reshape(-1),
-                    inv_degree_pts=lvl["inv_degree_pts"].reshape(-1),
+                    u, lattice_shape=lat, n=n_c, dim=dim,
+                    mask=lvl["mask"], inv_degree_pts=lvl["inv_degree_pts"],
                     axis_name=ax, apply_mask=apply_mask,
                     apply_weight=apply_weight)
 
-            diag = sem.stiffness_diagonal(lvl["geom"], lvl["D"], dim)
-            diag_c = ds(diag.reshape(-1), apply_mask=False)
+            diag = sem.stiffness_diagonal_lattice(lvl["geom"], lvl["D"],
+                                                  dim).reshape(-1)
+            diag_c = ds(diag, apply_mask=False)
             inv_diag = jnp.where(diag_c > 0, 1.0 / diag_c, 0.0)
             return op, ds, inv_diag
 
-        # fine level smoother data
-        diag_f = sem.stiffness_diagonal(arrays.geom, arrays.D, dim)
-        diag_fc = dssum_f(diag_f.reshape(-1), apply_mask=False)
-        inv_diag_f = jnp.where(diag_fc > 0, 1.0 / diag_fc, 0.0)
-
+        inv_diag_f = _domain_inv_diag(domain, arrays, dssum_f)
         lvls = [(operator_f, dssum_f, inv_diag_f)]
-        for lvl, N_c in zip(extra["levels"], orders):
-            lvls.append(level_ops(lvl, N_c + 1))
+        for lvl, N_c, lat in zip(extra["levels"], orders, lat_shapes[1:]):
+            lvls.append(level_ops(lvl, N_c + 1, lat))
 
         omega = smooth_damping
 
@@ -193,7 +227,6 @@ def pmultigrid(domain, mesh_builder, poly_reduction: int = None,
             return res.u
 
         n_levels = len(lvls)
-        E = arrays.geom.shape[0]  # same element lattice at every order
 
         def vcycle(l, r):
             if l == n_levels - 1:
@@ -201,11 +234,11 @@ def pmultigrid(domain, mesh_builder, poly_reduction: int = None,
             op, ds, invd = lvls[l]
             z = omega * invd * ds(r, apply_mask=True)      # pre-smooth
             res = r - op(z)                                # non-assembled
-            rc = interp.restrict(res.reshape(E, -1),
-                                 extra["J"][l], dim).reshape(-1)
+            rc = interp.lattice_tensor_apply(
+                res.reshape(lat_shapes[l]), extra["J"][l].T, dim).reshape(-1)
             zc = vcycle(l + 1, rc)
-            z = z + interp.prolongate(zc.reshape(E, -1), extra["J"][l],
-                                      dim).reshape(-1)
+            z = z + interp.lattice_tensor_apply(
+                zc.reshape(lat_shapes[l + 1]), extra["J"][l], dim).reshape(-1)
             return smooth(l, z, r)                          # post-smooth
 
         def precond(r):

@@ -1,0 +1,444 @@
+"""Full-domain-decomposition + polynomial-reduction preconditioner.
+
+TPU-native redesign of the reference's ``Subdomain`` class
+(/root/reference/subdomain.{hpp,tpp}): every shard solves a *local
+composite problem covering the entire global domain* — its own elements at
+full order N, rings of neighbor layers at successively reduced orders
+N-r, N-2r, ..., 1 (subdomain.tpp:93-120 levels; :432-553 region growth),
+and the far field at order 1 — with a small fixed number of rank-local
+FGMRES iterations (subdomain.hpp:229-230, subdomain.tpp:4309-4489).
+
+Redesign for slab-partitioned structured lattices (the reference's
+benchmark family):
+
+- Regions: on a slab partition, the reference's expander-grown overlap
+  rings (subdomain.tpp:487-510) are exactly z-layers, so each shard's
+  composite is a *stack of layer groups* with per-group polynomial order.
+- SPMD uniformity: layer positions are indexed cyclically relative to the
+  shard's own slab, so every shard runs the identical program on rolled
+  geometry; the one non-physical (wrap-around) interface per shard is
+  disabled by a per-shard adjacency mask.
+- The reference's per-apply gslib exchange of ring data
+  (subdomain.tpp:4626) becomes cyclic ``ppermute`` of dense restricted
+  layer blocks; the coarsest-level MPI_Allgatherv (subdomain.tpp:4620-21)
+  becomes one ``all_gather`` of the order-1 restricted field.
+- Non-conforming coupling between groups of different order
+  (subdomain.tpp:920-1582 hanging-node constraints Q) happens on whole
+  interface planes as dense J (x) J tensor contractions: fine-side face
+  planes are interpolatory images of the coarse plane, their adjoint
+  contributions collapse onto the coarse plane before conforming assembly.
+
+Deliberate v1 simplifications (documented capability gaps, tracked for
+later rounds): the far field is kept at order 1 rather than AMG-compressed
+(reference S10, subdomain.tpp:1632-2579 — a scalability optimisation, not
+a semantic difference at benchmark scale); the composite solve is
+preconditioned by composite-QQt (the reference's own bring-up mode,
+use_preconditioner=false path) rather than the low-order FEM AMG V-cycle
+(S12/S13); meshes must be structured with mz divisible by the shard count.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from ..mesh.partition import partition_mesh
+from ..ops import sem
+from ..ops import interp
+from ..ops import gather_scatter as gs
+from ..utils.gll import diff_matrix, interp_matrix
+from .preconditioners import Preconditioner
+from . import krylov
+
+__all__ = ["composite_dd"]
+
+
+@dataclass(frozen=True)
+class _GroupSpec:
+    order: int          # polynomial order of this layer group
+    layers: int         # number of element layers
+    start_pos: int      # first layer position (cyclic, relative to own slab)
+
+
+def _build_group_specs(S, V, L, orders, total_layers):
+    """Layer groups in cyclic position order: own slab, rings above
+    (orders[0..L-1], V layers each), far field (order 1), rings below
+    (mirrored). Follows the reference's region growth semantics
+    (subdomain.tpp:479-531: ring l grown at poly_degree[l])."""
+    groups = [_GroupSpec(orders[0], S, 0)]
+    if total_layers == S:
+        return groups  # single shard: the composite is the whole domain
+    pos = S
+    for l in range(L):
+        groups.append(_GroupSpec(orders[l], V, pos))
+        pos += V
+    far = total_layers - S - 2 * V * L
+    if far < 0:
+        raise ValueError(
+            f"mesh too small for overlap: need >= {S + 2 * V * L} layers, "
+            f"have {total_layers}")
+    if far > 0:
+        groups.append(_GroupSpec(orders[-1], far, pos))
+        pos += far
+    for l in range(L - 1, -1, -1):
+        groups.append(_GroupSpec(orders[l], V, pos))
+        pos += V
+    assert pos == total_layers
+    return groups
+
+
+def composite_dd(domain, mesh_builder, poly_reduction: int,
+                 subdomain_overlap: int = 1,
+                 num_iterations: int = 4,
+                 use_inner_qqt: bool = True) -> Preconditioner:
+    """Build the composite DD+polynomial-reduction preconditioner.
+
+    domain: the fine-level Domain (structured, slab-partitioned).
+    mesh_builder(N_c): same element grid meshed at order N_c.
+    poly_reduction: the reference's CLI poly_reduction (poisson.cpp:63).
+    subdomain_overlap: ring thickness in layers (reference sub_overlap).
+    num_iterations: fixed inner FGMRES iterations (subdomain.hpp:229-230).
+    """
+    sd = domain.sharded
+    if sd.structured is None:
+        raise NotImplementedError("composite_dd requires a structured "
+                                  "slab-partitioned domain")
+    dim = domain.dim
+    N = domain.poly_degree
+    dtype = domain.dtype
+    Pn = sd.num_shards
+    elem_shape = sd.structured.elem_shape
+    m_last = elem_shape[-1]
+    S = sd.structured.slab_elems
+    if S * Pn != m_last:
+        raise NotImplementedError(
+            "composite_dd requires the shard count to divide the last "
+            f"element dimension exactly ({m_last} layers, {Pn} shards)")
+    plane_shape = tuple(reversed(elem_shape[:-1]))  # e.g. (my, mx)
+
+    # level hierarchy N, N-r, ..., 1 (subdomain.tpp:93-120)
+    orders = [N]
+    while orders[-1] > 1:
+        orders.append(max(orders[-1] - poly_reduction, 1))
+    L = len(orders)
+    V = subdomain_overlap
+    if S < V * L:
+        raise ValueError(
+            f"own slab ({S} layers) must cover the ring depth ({V * L}) so "
+            "rings come from nearest neighbors only")
+
+    groups = _build_group_specs(S, V, L, orders, m_last)
+    G = len(groups)
+
+    # host meshes at every order (geometry source; replaces the reference's
+    # gs-tree population of region copies, subdomain.tpp:644-805)
+    order_set = sorted(set(g.order for g in groups) | set(orders))
+    mesh_by_order = {o: mesh_builder(o) for o in order_set}
+
+    def layer_slice(mesh_o, phys_layers, field, trailing=()):
+        """Extract per-layer element data and convert to lattice layout.
+
+        phys_layers: array of physical layer indices (in stack order).
+        field: (E_total, npe[, F]) element data of the order-o mesh.
+        Returns lattice array (len(layers)*n_o, MY_o, MX_o [, F])."""
+        o = mesh_o.poly_degree
+        n_o = o + 1
+        plane = int(np.prod(plane_shape))
+        a = np.asarray(field)
+        F = a.shape[2:]
+        rows = []
+        for lz in phys_layers:
+            sel = a[lz * plane:(lz + 1) * plane]  # (plane, npe[, F])
+            # layer lattice: (n_z, my*n, mx*n [, F])
+            if dim == 3:
+                Ub = sel.reshape(plane_shape + (n_o, n_o, n_o) + F)
+                perm = [2, 0, 3, 1, 4] + [5 + k for k in range(len(F))]
+                lat = Ub.transpose(perm).reshape(
+                    (n_o, plane_shape[0] * n_o, plane_shape[1] * n_o) + F)
+            else:
+                Ub = sel.reshape(plane_shape + (n_o, n_o) + F)
+                perm = [1, 0, 2] + [3 + k for k in range(len(F))]
+                lat = Ub.transpose(perm).reshape(
+                    (n_o, plane_shape[0] * n_o) + F)
+            rows.append(lat)
+        return np.concatenate(rows, axis=0)
+
+    # per-shard, per-group device data
+    group_data = []   # list over groups of dicts with (P, ...) arrays
+    adj = np.zeros((Pn, G))
+    for p in range(Pn):
+        base = p * S
+        for gi, g in enumerate(groups):
+            # interface gi -> gi+1 sits after this group's last layer
+            last_pos = g.start_pos + g.layers - 1
+            phys_next = (base + last_pos + 1) % m_last
+            adj[p, gi] = 0.0 if phys_next == 0 else 1.0
+
+    for gi, g in enumerate(groups):
+        o = g.order
+        n_o = o + 1
+        mesh_o = mesh_by_order[o]
+        geom_list, mask_list, wt_list = [], [], []
+        for p in range(Pn):
+            base = p * S
+            phys = [(base + g.start_pos + k) % m_last for k in range(g.layers)]
+            geom_list.append(layer_slice(mesh_o, phys, mesh_o.geom,
+                                         ))
+            mask_list.append(layer_slice(mesh_o, phys,
+                                         mesh_o.dirichlet_mask[..., None])[..., 0])
+            wt_list.append(layer_slice(
+                mesh_o, phys,
+                (1.0 / mesh_o.node_degree.astype(np.float64))[..., None])[..., 0])
+        group_data.append({
+            "geom": jnp.asarray(np.stack(geom_list), dtype=dtype),
+            "mask": jnp.asarray(np.stack(mask_list), dtype=dtype),
+            "weight": jnp.asarray(np.stack(wt_list), dtype=dtype),
+            "D": jnp.asarray(diff_matrix(n_o), dtype=dtype),
+        })
+
+    # interface transfer matrices J (n_hi_pts, n_lo_pts) coarse->fine in 1D
+    Jmats = {}
+    for gi in range(G):
+        o_a = groups[gi].order
+        o_b = groups[(gi + 1) % G].order
+        for (of, oc) in [(max(o_a, o_b), min(o_a, o_b))]:
+            if (oc, of) not in Jmats:
+                Jmats[(oc, of)] = jnp.asarray(
+                    interp_matrix(oc + 1, of + 1), dtype=dtype)
+
+    # 1-D restriction cascade matrices between consecutive levels
+    Jlvl = [jnp.asarray(interp_matrix(orders[i + 1] + 1, orders[i] + 1),
+                        dtype=dtype) for i in range(L - 1)]
+
+    extra = {
+        "groups": group_data,
+        "adj": jnp.asarray(adj, dtype=dtype),
+        "J": Jmats,
+        "Jlvl": Jlvl,
+    }
+
+    def extra_specs(ax):
+        return {
+            "groups": [{"geom": P(ax), "mask": P(ax), "weight": P(ax),
+                        "D": P()} for _ in group_data],
+            "adj": P(ax),
+            "J": {k: P() for k in Jmats},
+            "Jlvl": [P() for _ in Jlvl],
+        }
+
+    # ---- static shape info ----
+    def lat_shape(g):
+        n_o = g.order + 1
+        return (g.layers * n_o,) + tuple(ps * n_o for ps in plane_shape)
+
+    group_lats = [lat_shape(g) for g in groups]
+    group_sizes = [int(np.prod(s)) for s in group_lats]
+    own_lat = group_lats[0]
+
+    # ring block positions within the *neighbor's* restricted slab:
+    # above-ring level l = neighbor-above's layers [l*V, (l+1)*V)
+    # below-ring level l = neighbor-below's layers [S-(l+1)*V, S-l*V)
+    far_index = 1 + L if G == 2 + 2 * L else None
+
+    def build(arrays, extra, ops):
+        operator_f, dssum_f, dot_f, dot2_f = ops
+        ax = domain.axis_name
+        groups_x = extra["groups"]
+        adj_x = extra["adj"]        # (G,)
+        Jx = extra["J"]
+        Jlvl_x = extra["Jlvl"]
+
+        # ---- composite vector <-> per-group lattice views ----
+        def split(vec):
+            out = []
+            off = 0
+            for sz, shp in zip(group_sizes, group_lats):
+                out.append(vec[off:off + sz].reshape(shp))
+                off += sz
+            return out
+
+        def join(parts):
+            return jnp.concatenate([p.reshape(-1) for p in parts])
+
+        # ---- composite operator: per-group batched SEM apply ----
+        def comp_operator(vec):
+            parts = split(vec)
+            out = []
+            for g, gd, U in zip(groups, groups_x, parts):
+                out.append(sem.stiffness_apply_lattice(U, gd["geom"],
+                                                       gd["D"], dim))
+            return join(out)
+
+        # ---- composite direct stiffness summation ----
+        def plane_to_coarse(plane_f, of, oc):
+            J = Jx[(oc, of)]
+            return interp.lattice_tensor_apply(plane_f, J.T, dim - 1)
+
+        def plane_to_fine(plane_c, of, oc):
+            J = Jx[(oc, of)]
+            return interp.lattice_tensor_apply(plane_c, J, dim - 1)
+
+        def comp_dssum(vec, apply_mask=True, apply_weight=False):
+            parts = split(vec)
+            # 1. collapse fine interface faces onto coarse planes (adjoint
+            #    of the hanging-node constraints, subdomain.tpp:1496-1582)
+            contrib_lo = [None] * G   # addition to group g's top plane
+            contrib_hi = [None] * G   # addition to group g's bottom plane
+            for gi in range(G):
+                gj = (gi + 1) % G
+                o_i, o_j = groups[gi].order, groups[gj].order
+                a = adj_x[gi]
+                top = parts[gi][-1]
+                bot = parts[gj][0]
+                if o_i == o_j:
+                    contrib_lo[gi] = a * bot
+                    contrib_hi[gj] = a * top
+                elif o_i > o_j:
+                    # gi fine, gj coarse: fine face collapses onto coarse
+                    contrib_hi[gj] = a * plane_to_coarse(top, o_i, o_j)
+                else:
+                    contrib_lo[gi] = a * plane_to_coarse(bot, o_j, o_i)
+
+            # 2. conforming per-group assembly, with the collapsed
+            #    contributions added to the boundary planes first. For
+            #    same-order interfaces both sides receive the other's
+            #    original plane in step 1, so after assembly they hold the
+            #    identical shared value (the group-boundary plane is not
+            #    touched by intra-group z sums).
+            summed = []
+            for gi in range(G):
+                U = parts[gi]
+                if contrib_hi[gi] is not None:
+                    U = U.at[0].add(contrib_hi[gi])
+                if contrib_lo[gi] is not None:
+                    U = U.at[-1].add(contrib_lo[gi])
+                summed.append(gs.lattice_face_sum(U, groups[gi].order + 1))
+
+            # 3. distribute assembled owner planes back to the other side
+            final = list(summed)
+            for gi in range(G):
+                gj = (gi + 1) % G
+                o_i, o_j = groups[gi].order, groups[gj].order
+                a = adj_x[gi]
+                if o_i == o_j:
+                    # same order: both sides share the assembled value
+                    # (both computed the identical sum in step 2)
+                    pass
+                elif o_i > o_j:
+                    # fine top plane := J (assembled coarse bottom plane)
+                    fine = plane_to_fine(summed[gj][0], o_i, o_j)
+                    final[gi] = final[gi].at[-1].set(
+                        a * fine + (1.0 - a) * summed[gi][-1])
+                else:
+                    fine = plane_to_fine(summed[gi][-1], o_j, o_i)
+                    final[gj] = final[gj].at[0].set(
+                        a * fine + (1.0 - a) * summed[gj][0])
+
+            out_parts = []
+            for gi in range(G):
+                U = final[gi].reshape(-1)
+                if apply_weight:
+                    U = U * groups_x[gi]["weight"].reshape(-1)
+                if apply_mask:
+                    U = U * groups_x[gi]["mask"].reshape(-1)
+                out_parts.append(U)
+            return jnp.concatenate(out_parts)
+
+        # ---- composite weighted inner products (rank-local, no psum:
+        #      subdomain.tpp:4491-4557) ----
+        wvec = jnp.concatenate([gd["weight"].reshape(-1) * gd["mask"].reshape(-1)
+                                for gd in groups_x])
+
+        def comp_dot(a, b):
+            return jnp.dot(a, b * wvec,
+                           precision=jax.lax.Precision.HIGHEST)
+
+        def comp_dot2(a, b, c, d):
+            return comp_dot(a, b), comp_dot(c, d)
+
+        # ---- tree operator: outer residual -> composite RHS
+        #      (subdomain.tpp:4566-4646) ----
+        n_per_lvl = [o + 1 for o in orders]
+
+        def tree_rhs(r):
+            # restriction cascade on the own slab (subdomain.okl:284-366)
+            r_lvl = [r.reshape(own_lat)]
+            for Jl in Jlvl_x:
+                r_lvl.append(interp.lattice_tensor_apply(
+                    r_lvl[-1], Jl.T, dim))
+
+            parts = [r_lvl[0]]  # group 0: own slab at order N
+            if G == 1:
+                return join(parts)
+
+            # rings above: cyclic ppermute from the shard above
+            nsh = jax.lax.axis_size(ax) if ax is not None else 1
+            down = [( (i + 1) % nsh, i) for i in range(nsh)]
+            up = [(i, (i + 1) % nsh) for i in range(nsh)]
+            for l in range(L):
+                n_l = n_per_lvl[l]
+                block = jax.lax.dynamic_slice_in_dim(
+                    r_lvl[l], l * V * n_l, V * n_l, axis=0)
+                if ax is not None and nsh > 1:
+                    block = jax.lax.ppermute(block, ax, down)
+                parts.append(block)
+
+            # far field: all_gather the coarsest level, roll to my cyclic
+            # frame, slice the far positions (the reference's Allgatherv,
+            # subdomain.tpp:4620-4621)
+            if far_index is not None:
+                n_c = n_per_lvl[-1]
+                if ax is not None and nsh > 1:
+                    full = jax.lax.all_gather(r_lvl[-1], ax, axis=0,
+                                              tiled=True)
+                    shard_id = jax.lax.axis_index(ax)
+                else:
+                    full = r_lvl[-1]
+                    shard_id = 0
+                # full: (m_last*n_c, MY_c, MX_c) in physical z order
+                shift = -(shard_id * S * n_c)
+                rolled = jnp.roll(full, shift, axis=0)
+                far_start = groups[far_index].start_pos * n_c
+                far_len = groups[far_index].layers * n_c
+                parts.append(jax.lax.dynamic_slice_in_dim(
+                    rolled, far_start, far_len, axis=0))
+
+            # rings below: level L-1 ... 0, from the shard below
+            for l in range(L - 1, -1, -1):
+                n_l = n_per_lvl[l]
+                block = jax.lax.dynamic_slice_in_dim(
+                    r_lvl[l], (S - (l + 1) * V) * n_l, V * n_l, axis=0)
+                if ax is not None and nsh > 1:
+                    block = jax.lax.ppermute(block, ax, up)
+                parts.append(block)
+
+            return join(parts)
+
+        # ---- inner solve: fixed FGMRES (subdomain.tpp:4309-4489) ----
+        def inner_precond(rr):
+            return comp_dssum(rr, apply_mask=True, apply_weight=True)
+
+        def precond(r):
+            f_comp = tree_rhs(r)
+            res = krylov.fgmres(
+                comp_operator,
+                inner_precond if use_inner_qqt else (lambda x: x),
+                lambda rr: comp_dssum(rr, apply_mask=True),
+                comp_dot, f_comp,
+                max_iterations=num_iterations,
+                num_vectors=num_iterations,
+                tolerance=0.0)
+            # extract the own-slab portion (copy_to_domain_data,
+            # subdomain.okl:276-282); outer stitching makes it continuous
+            z = res.u[:group_sizes[0]]
+            return dssum_f(z, apply_mask=True, apply_weight=True)
+
+        return precond
+
+    return Preconditioner(build=build, extra=extra,
+                          _extra_specs=extra_specs)

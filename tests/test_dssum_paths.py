@@ -26,7 +26,8 @@ def fields_equal(mesh, dom_a, dom_b, vals, **kw):
 
     def unpack(dom, u):
         sd = dom.sharded
-        u = np.asarray(u).reshape(sd.num_shards, sd.elems_per_shard, -1)
+        u = dom.from_device_field(u).reshape(sd.num_shards,
+                                             sd.elems_per_shard, -1)
         return np.concatenate([u[p][sd.elem_valid[p]]
                                for p in range(sd.num_shards)]).ravel()
 

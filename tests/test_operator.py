@@ -27,11 +27,12 @@ def dense_assembled(mesh, dom):
     npts = gids.size
     basis = np.zeros((nn, npts))
     basis[inv, np.arange(npts)] = 1.0  # rows = Q e_j
-    au = np.asarray(jax.vmap(dom.apply_operator)(
-        jnp.asarray(basis.reshape((nn,) + dom.points_shape()), dom.dtype)))
+    dev_basis = jnp.stack([dom.to_device_field(b) for b in basis])
+    au_dev = jax.vmap(dom.apply_operator)(dev_basis)
     A = np.zeros((nn, nn))
     for j in range(nn):
-        A[:, j] = np.bincount(inv, weights=au[j].ravel(), minlength=nn)
+        au = dom.from_device_field(au_dev[j])
+        A[:, j] = np.bincount(inv, weights=au.ravel(), minlength=nn)
     return A, uniq, inv
 
 
@@ -52,7 +53,7 @@ def test_assembled_operator_symmetric_and_psd(shape, N, kershaw):
 def test_operator_annihilates_constants(shape, N, kershaw):
     _, dom = make_domain(shape, N, kershaw=kershaw)
     ones = dom.to_device_field(np.ones(dom.points_shape()))
-    au = np.asarray(dom.apply_operator(ones))
+    au = dom.from_device_field(dom.apply_operator(ones))
     assert np.max(np.abs(au)) < 1e-10
 
 
@@ -87,6 +88,6 @@ def test_true_poisson_spectral_accuracy(dim):
     f = dom.to_device_field((mesh.mass * f_cont).reshape(dom.points_shape()))
     solve = dom.solver(method="fcg", max_iterations=600, tolerance=1e-12)
     res = solve(f)
-    err = np.asarray(res.u).ravel() - u_star.ravel()
+    err = dom.from_device_field(res.u).ravel() - u_star.ravel()
     mask = mesh.dirichlet_mask.ravel()
     assert np.max(np.abs(err * mask)) < 1e-7

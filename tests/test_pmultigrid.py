@@ -63,7 +63,7 @@ def test_pmg_beats_jacobi(P):
     res_pmg = dom.solver(method="fcg", max_iterations=400, tolerance=1e-9,
                          precond=pmg)(f)
     res_jac = dom.solver(method="fcg", max_iterations=400, tolerance=1e-9,
-                         precond=preconditioners.jacobi(dom.dim))(f)
+                         precond=preconditioners.jacobi(dom))(f)
     assert bool(res_pmg.converged)
     assert int(res_pmg.iterations) < int(res_jac.iterations) // 2, (
         int(res_pmg.iterations), int(res_jac.iterations))

@@ -19,7 +19,7 @@ def test_jacobi_converges_and_helps():
 
     base = dom.solver(method="fcg", max_iterations=2000, tolerance=1e-9)(f)
     jac = dom.solver(method="fcg", max_iterations=2000, tolerance=1e-9,
-                     precond=preconditioners.jacobi(dom.dim))(f)
+                     precond=preconditioners.jacobi(dom))(f)
     assert bool(base.converged) and bool(jac.converged)
     assert int(jac.iterations) < int(base.iterations)
     err = np.abs(np.asarray(jac.u) - np.asarray(u_star)).max()
@@ -37,7 +37,7 @@ def test_jacobi_spmd_matches_single():
         u_star = dom.initial_function(0)
         f = dom.manufacture_rhs(u_star)
         res = dom.solver(method="fcg", max_iterations=1000, tolerance=1e-9,
-                         precond=preconditioners.jacobi(dom.dim))(f)
+                         precond=preconditioners.jacobi(dom))(f)
         assert bool(res.converged)
         its.append(int(res.iterations))
     assert abs(its[0] - its[1]) <= 1

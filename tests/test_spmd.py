@@ -28,7 +28,7 @@ def build(P, shape=(4, 4), N=3, method="fcg"):
 def reorder_to_global(mesh, dom, u):
     """Undo padding: stack shard fields back to the global point ordering."""
     sd = dom.sharded
-    u = np.asarray(u).reshape(sd.num_shards, sd.elems_per_shard, -1)
+    u = dom.from_device_field(u).reshape(sd.num_shards, sd.elems_per_shard, -1)
     out = []
     for p in range(sd.num_shards):
         out.append(u[p][sd.elem_valid[p]])
