@@ -118,7 +118,14 @@ def fgmres(operator, precond, dssum_plain, dot, f, *,
     tol = jnp.asarray(tolerance, dtype=dtype)
     target = tol * r0_norm if use_relative else tol
 
-    hist0 = jnp.full((max_iterations + 1,), jnp.nan, dtype=dtype)
+    # vma seed: 0 with the same shard-varying type as the dot products.
+    # When dot psums (outer solve) scalars stay replicated; when dot is
+    # rank-local (the composite inner solve under shard_map) every scalar
+    # in the iteration becomes shard-varying, as it must.
+    seed = r0_norm * 0.0
+    seed_i = seed.astype(jnp.int32)
+
+    hist0 = jnp.full((max_iterations + 1,), jnp.nan, dtype=dtype) + seed
     hist0 = hist0.at[0].set(r0_norm)
 
     def proj_dots(V, qq, j):
@@ -149,10 +156,10 @@ def fgmres(operator, precond, dssum_plain, dot, f, *,
         zero_row = r * 0.0  # elementwise, keeps vma type (zeros_like may not)
         V = jnp.repeat(zero_row[None], m + 1, axis=0).at[0].set(r / g0)
         Z = jnp.repeat(zero_row[None], m, axis=0)
-        H = jnp.zeros((m + 1, m), dtype=dtype)
-        gam = jnp.zeros((m + 1,), dtype=dtype).at[0].set(g0)
-        c = jnp.zeros((m,), dtype=dtype)
-        s = jnp.zeros((m,), dtype=dtype)
+        H = jnp.zeros((m + 1, m), dtype=dtype) + seed
+        gam = (jnp.zeros((m + 1,), dtype=dtype) + seed).at[0].set(g0)
+        c = jnp.zeros((m,), dtype=dtype) + seed
+        s = jnp.zeros((m,), dtype=dtype) + seed
 
         def arnoldi(j, inner):
             V, Z, H, gam, c, s, jdone, jcount, it, hist, last_rnorm = inner
@@ -196,8 +203,8 @@ def fgmres(operator, precond, dssum_plain, dot, f, *,
 
             def skip(args):
                 V, Z, H, gam, c, s, it, hist = args
-                return (V, Z, H, gam, c, s, jnp.asarray(True), it, hist,
-                        last_rnorm)
+                return (V, Z, H, gam, c, s, jnp.logical_or(jdone, True),
+                        it, hist, last_rnorm)
 
             active = jnp.logical_and(jnp.logical_not(jdone),
                                      it < max_iterations)
@@ -207,7 +214,7 @@ def fgmres(operator, precond, dssum_plain, dot, f, *,
             jdone = jnp.logical_or(jdone, stop)
             return (V, Z, H, gam, c, s, jdone, jcount, it, hist, rnorm)
 
-        inner0 = (V, Z, H, gam, c, s, done, jnp.asarray(0, jnp.int32),
+        inner0 = (V, Z, H, gam, c, s, done, seed_i,
                   it, hist, last_rnorm)
         (V, Z, H, gam, c, s, jdone, jlast, it, hist, last_rnorm) = (
             jax.lax.fori_loop(0, m, arnoldi, inner0))
@@ -222,7 +229,7 @@ def fgmres(operator, precond, dssum_plain, dot, f, *,
                 return y.at[k].set((gam[k] - contrib) / H[k, k])
             return jax.lax.cond(kk <= jlast, active_fn, lambda y: y, y)
 
-        y = jax.lax.fori_loop(0, m, back, jnp.zeros((m,), dtype=dtype))
+        y = jax.lax.fori_loop(0, m, back, jnp.zeros((m,), dtype=dtype) + seed)
         u = u + jnp.einsum("i,iN->N", y, Z,
                            precision=jax.lax.Precision.HIGHEST)
 
@@ -237,7 +244,7 @@ def fgmres(operator, precond, dssum_plain, dot, f, *,
         _, it, done, _, _ = carry
         return jnp.logical_not(done)
 
-    carry0 = (u0, jnp.asarray(0, jnp.int32), r0_norm < target, hist0, r0_norm)
+    carry0 = (u0, seed_i, r0_norm < target, hist0, r0_norm)
     u, it, done, hist, last = jax.lax.while_loop(cond, restart_cycle, carry0)
     return KrylovResult(u=u, iterations=it, residual_history=hist,
                         r0_norm=r0_norm,

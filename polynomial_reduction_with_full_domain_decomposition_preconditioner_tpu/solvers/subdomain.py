@@ -194,10 +194,11 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
             wt_list.append(layer_slice(
                 mesh_o, phys,
                 (1.0 / mesh_o.node_degree.astype(np.float64))[..., None])[..., 0])
+        sq = (lambda x: x) if domain.spmd else (lambda x: x[0])
         group_data.append({
-            "geom": jnp.asarray(np.stack(geom_list), dtype=dtype),
-            "mask": jnp.asarray(np.stack(mask_list), dtype=dtype),
-            "weight": jnp.asarray(np.stack(wt_list), dtype=dtype),
+            "geom": jnp.asarray(sq(np.stack(geom_list)), dtype=dtype),
+            "mask": jnp.asarray(sq(np.stack(mask_list)), dtype=dtype),
+            "weight": jnp.asarray(sq(np.stack(wt_list)), dtype=dtype),
             "D": jnp.asarray(diff_matrix(n_o), dtype=dtype),
         })
 
@@ -217,7 +218,7 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
 
     extra = {
         "groups": group_data,
-        "adj": jnp.asarray(adj, dtype=dtype),
+        "adj": jnp.asarray(adj if domain.spmd else adj[0], dtype=dtype),
         "J": Jmats,
         "Jlvl": Jlvl,
     }
@@ -349,17 +350,14 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
                 out_parts.append(U)
             return jnp.concatenate(out_parts)
 
-        # ---- composite weighted inner products (rank-local, no psum:
-        #      subdomain.tpp:4491-4557) ----
-        wvec = jnp.concatenate([gd["weight"].reshape(-1) * gd["mask"].reshape(-1)
-                                for gd in groups_x])
-
+        # ---- composite inner products (rank-local, no psum:
+        #      subdomain.tpp:4491-4557). Plain point-space dots: with the
+        #      symmetric composite QQt, <q, S q> = |Qt q|^2 >= 0, so the
+        #      GMRES norms stay well defined. (A multiplicity weight makes
+        #      W*S non-symmetric across cross-order interfaces and can
+        #      drive <q, S q>_w negative -> NaN; observed at order 7<->1.)
         def comp_dot(a, b):
-            return jnp.dot(a, b * wvec,
-                           precision=jax.lax.Precision.HIGHEST)
-
-        def comp_dot2(a, b, c, d):
-            return comp_dot(a, b), comp_dot(c, d)
+            return jnp.dot(a, b, precision=jax.lax.Precision.HIGHEST)
 
         # ---- tree operator: outer residual -> composite RHS
         #      (subdomain.tpp:4566-4646) ----
@@ -420,8 +418,18 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
             return join(parts)
 
         # ---- inner solve: fixed FGMRES (subdomain.tpp:4309-4489) ----
+        # inner preconditioner: continuous inverse assembled diagonal of
+        # the composite operator (Jacobi) — stands in for the reference's
+        # low-order FEM AMG V-cycle (S12/S13) until amg/ lands; the plain
+        # QQt path is the reference's own use_preconditioner=false mode
+        comp_diag = join([
+            sem.stiffness_diagonal_lattice(gd["geom"], gd["D"], dim)
+            for gd in groups_x])
+        comp_diag_c = comp_dssum(comp_diag, apply_mask=False)
+        comp_inv_diag = jnp.where(comp_diag_c > 0, 1.0 / comp_diag_c, 0.0)
+
         def inner_precond(rr):
-            return comp_dssum(rr, apply_mask=True, apply_weight=True)
+            return comp_dssum(rr, apply_mask=True) * comp_inv_diag
 
         def precond(r):
             f_comp = tree_rhs(r)

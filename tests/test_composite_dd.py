@@ -1,0 +1,76 @@
+"""Composite DD + polynomial-reduction preconditioner (the reference's
+Subdomain, configs[3]): convergence, SPMD behavior, interface coupling."""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.mesh import generator as mg
+from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.mesh.partition import partition_mesh
+from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.solvers.domain import Domain
+from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.solvers import subdomain as sub
+
+
+def build(P, shape, N, eps=0.3):
+    mesh = mg.kershaw_mesh(shape, N, eps)
+    sd = partition_mesh(mesh, P, structured=True)
+    if P == 1:
+        dom = Domain(sd, dtype=jnp.float64)
+    else:
+        dm = jax.make_mesh((P,), ("shard",))
+        dom = Domain(sd, dtype=jnp.float64, device_mesh=dm)
+    return mesh, dom
+
+
+def test_composite_dd_single_shard_converges():
+    # P=1: the composite is the full domain at order N; 4 inner FGMRES
+    # iterations make a strong preconditioner
+    shape, N = (4, 4), 5
+    mesh, dom = build(1, shape, N)
+    u_star = dom.initial_function(4, seed=2)
+    f = dom.manufacture_rhs(u_star)
+    pre = sub.composite_dd(dom, partial(mg.kershaw_mesh, shape, epsilon=0.3),
+                           poly_reduction=2)
+    res = dom.solver(method="fgmres", max_iterations=100, tolerance=1e-8,
+                     precond=pre)(f)
+    base = dom.solver(method="fgmres", max_iterations=100, tolerance=1e-8)(f)
+    assert bool(res.converged)
+    assert int(res.iterations) < int(base.iterations) // 2, (
+        int(res.iterations), int(base.iterations))
+    err = np.abs(np.asarray(res.u) - np.asarray(u_star)).max()
+    assert err < 1e-6
+
+
+@pytest.mark.parametrize("shape,N,r", [((4, 16), 4, 3), ((2, 2, 16), 3, 2)])
+def test_composite_dd_spmd_converges(shape, N, r):
+    mesh, dom = build(8, shape, N)
+    u_star = dom.initial_function(4, seed=5)
+    f = dom.manufacture_rhs(u_star)
+    eps = 0.3
+    pre = sub.composite_dd(dom, partial(mg.kershaw_mesh, shape, epsilon=eps),
+                           poly_reduction=r)
+    res = dom.solver(method="fgmres", max_iterations=250, tolerance=1e-10,
+                     precond=pre)(f)
+    base = dom.solver(method="fgmres", max_iterations=150, tolerance=1e-8)(f)
+    assert bool(res.converged), np.asarray(res.residual_history)[:20]
+    assert int(res.iterations) < int(base.iterations)
+    err = np.abs(np.asarray(res.u) - np.asarray(u_star)).max()
+    assert err < 1e-6
+
+
+def test_composite_dd_fcg_outer():
+    # FCG outer + composite DD inner (reference preconditioner_type=0 path)
+    shape, N = (4, 16), 4
+    mesh, dom = build(8, shape, N)
+    u_star = dom.initial_function(0)
+    f = dom.manufacture_rhs(u_star)
+    pre = sub.composite_dd(dom, partial(mg.kershaw_mesh, shape, epsilon=0.3),
+                           poly_reduction=3)
+    res = dom.solver(method="fcg", max_iterations=250, tolerance=1e-10,
+                     precond=pre)(f)
+    assert bool(res.converged)
+    err = np.abs(np.asarray(res.u) - np.asarray(u_star)).max()
+    assert err < 1e-6
