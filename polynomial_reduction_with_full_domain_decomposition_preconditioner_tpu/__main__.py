@@ -1,0 +1,20 @@
+"""CLI entry point (the reference's ./poisson binary, poisson.cpp:40-68).
+
+    python -m polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu \
+        7 6 1 1 --mesh kershaw --shape 16,16,16 --epsilon 0.3
+"""
+
+import sys
+
+from .runtime.config import Config
+from .runtime.driver import run_simulation
+
+
+def main(argv=None):
+    cfg = Config.from_args(sys.argv[1:] if argv is None else argv)
+    result = run_simulation(cfg)
+    return 0 if result["converged"] else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

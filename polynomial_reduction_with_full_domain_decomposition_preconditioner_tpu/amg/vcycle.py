@@ -1,0 +1,158 @@
+"""All-device multilevel V-cycle with Chebyshev smoothing.
+
+TPU-native rebuild of the reference's AMG apply engine
+(/root/reference/subdomain.tpp:3987-4159 + AMG/kernels.cu): per-level
+Chebyshev/Jacobi smoothing over extracted level matrices, restriction,
+coarse solve, prolongation. Differences by design:
+
+- The reference splits levels GPU/CPU at ``level_cutoff`` and captures the
+  GPU legs into CUDA graphs (subdomain.tpp:3644-3704). Here the WHOLE
+  V-cycle is one jit-traced function: XLA gives whole-graph launch for
+  free (SURVEY.md section 2.3(4)) and every level stays in HBM.
+- The coarsest solve is a precomputed dense inverse applied as a matvec on
+  the MXU, replacing the host-side ``hypre_GaussElimSolve``
+  (subdomain.tpp:4080-4088) — no device->host bounce.
+- Level SpMV uses the padded-ELL layout (ops/csr.py), the TPU-friendly
+  replacement for cusparse CSR SpMV (AMG/csr_matrix.cpp:112-134).
+
+The Chebyshev smoother matches hypre relax_type=16 semantics
+(subdomain.tpp:3480-3497): diagonal-preconditioned Chebyshev on
+[fraction * lmax, lmax] with fraction 0.3, lmax estimated at setup by
+power iteration on D^{-1}A.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.csr import EllMatrix, ell_from_csr, ell_spmv
+from .composite import HostHierarchy
+
+__all__ = ["pack_hierarchies", "vcycle_apply", "CHEBY_FRACTION"]
+
+CHEBY_FRACTION = 0.3   # hypre's cheby_fraction default (relax_type=16)
+
+
+def _stack_ell(mats, dtype):
+    """ELL-pack a list of same-shape CSR matrices (one per shard) with a
+    common padded width, stacked on a leading shard axis."""
+    width = max(int(np.diff(m.indptr).max()) if m.nnz else 1 for m in mats)
+    ells = [ell_from_csr(m, dtype=dtype, width=width) for m in mats]
+    return EllMatrix(
+        values=jnp.stack([e.values for e in ells]),
+        cols=jnp.stack([e.cols for e in ells]),
+        inv_perm=jnp.stack([e.inv_perm for e in ells]))
+
+
+def pack_hierarchies(hiers: list[HostHierarchy], dtype=jnp.float32,
+                     stack: bool = True):
+    """Device pytree for one or many shards' hierarchies.
+
+    With stack=True every leaf gets a leading shard axis (for shard_map);
+    with stack=False a single hierarchy is packed unstacked.
+    """
+    if not stack:
+        hiers2 = [hiers[0]]
+        pack = lambda mats: _stack_ell(mats, dtype)
+        squeeze = lambda e: EllMatrix(values=e.values[0], cols=e.cols[0],
+                                      inv_perm=e.inv_perm[0])
+        arr = lambda xs: jnp.asarray(np.asarray(xs[0]), dtype=dtype)
+    else:
+        hiers2 = hiers
+        pack = lambda mats: _stack_ell(mats, dtype)
+        squeeze = lambda e: e
+        arr = lambda xs: jnp.asarray(np.stack(xs), dtype=dtype)
+
+    nlev = len(hiers2[0].mats)
+    levels = []
+    for l in range(nlev):
+        A = squeeze(pack([h.mats[l] for h in hiers2]))
+        diag = [h.mats[l].diagonal() for h in hiers2]
+        invd = [np.where(d > 0, 1.0 / d, 0.0) for d in diag]
+        levels.append({
+            "A": A,
+            "invd": arr(invd),
+            "lmax": (arr([h.lmaxs[l] for h in hiers2])
+                     if l < nlev - 1 else arr([1.0 for _ in hiers2])),
+        })
+    tree = {
+        "levels": levels,
+        "prolongs": [squeeze(pack([h.prolongs[l] for h in hiers2]))
+                     for l in range(nlev - 1)],
+        "restricts": [squeeze(pack([h.prolongs[l].T.tocsr() for h in hiers2]))
+                      for l in range(nlev - 1)],
+        "coarse_inv": arr([h.coarse_inv for h in hiers2]),
+        "Q": squeeze(pack([h.Q for h in hiers2])),
+        "Qt": squeeze(pack([h.Q.T.tocsr() for h in hiers2])),
+        "dof_mask": arr([h.dof_mask for h in hiers2]),
+    }
+    return tree
+
+
+def cheby_smooth(A: EllMatrix, invd, lmax, f, u, order: int):
+    """Diagonal-preconditioned Chebyshev smoothing on [0.3*lmax, lmax]
+    (the fused smoother ops of AMG/kernels.cu:25-76, here fused by XLA)."""
+    lmin = CHEBY_FRACTION * lmax
+    theta = 0.5 * (lmax + lmin)
+    delta = 0.5 * (lmax - lmin)
+    sigma = theta / delta
+    rho = 1.0 / sigma
+    r = f if u is None else f - ell_spmv(A, u)
+    d = (invd * r) / theta
+    if u is None:
+        u = d
+    else:
+        u = u + d
+    for _ in range(order - 1):
+        r = r - ell_spmv(A, d)
+        rho_new = 1.0 / (2.0 * sigma - rho)
+        d = rho_new * rho * d + (2.0 * rho_new / delta) * (invd * r)
+        rho = rho_new
+        u = u + d
+    return u
+
+
+def vcycle_apply(tree, f, *, cheby_order: int = 2, num_cycles: int = 1):
+    """One-or-more V(1,1) cycles on an assembled-DOF right-hand side.
+
+    Pure traced function: levels/prolongs are a static Python list, so the
+    whole cycle compiles to one XLA program (the reference's CUDA-graph
+    trick, subdomain.tpp:3644-3704, for free)."""
+    levels = tree["levels"]
+    prolongs = tree["prolongs"]
+    restricts = tree["restricts"]
+    nlev = len(levels)
+
+    def cycle(l, fl):
+        if l == nlev - 1:
+            return jnp.dot(tree["coarse_inv"], fl,
+                           precision=jax.lax.Precision.HIGHEST)
+        lv = levels[l]
+        u = cheby_smooth(lv["A"], lv["invd"], lv["lmax"], fl, None,
+                         cheby_order)
+        r = fl - ell_spmv(lv["A"], u)
+        fc = ell_spmv(restricts[l], r)
+        uc = cycle(l + 1, fc)
+        u = u + ell_spmv(prolongs[l], uc)
+        return cheby_smooth(lv["A"], lv["invd"], lv["lmax"], fl, u,
+                            cheby_order)
+
+    u = cycle(0, f)
+    for _ in range(num_cycles - 1):
+        u = u + cycle(0, f - ell_spmv(levels[0]["A"], u))
+    return u
+
+
+def composite_preconditioner(tree, *, cheby_order: int = 2,
+                             num_cycles: int = 1):
+    """(r_lattice -> z_lattice) low-order preconditioner apply: gather to
+    DOFs, V-cycle(s), scatter back (subdomain.tpp:3995-4158)."""
+    def apply(r):
+        f = ell_spmv(tree["Qt"], r) * tree["dof_mask"]
+        v = vcycle_apply(tree, f, cheby_order=cheby_order,
+                         num_cycles=num_cycles)
+        return ell_spmv(tree["Q"], v * tree["dof_mask"])
+
+    return apply

@@ -56,11 +56,13 @@ class EllMatrix:
 
 
 def ell_from_csr(m: sp.csr_matrix, sort_rows: bool = True,
-                 dtype=np.float32) -> EllMatrix:
+                 dtype=np.float32, width: int | None = None) -> EllMatrix:
+    """width: pad to at least this many columns (for stacking same-shape
+    matrices from different shards into one SPMD array)."""
     m = m.tocsr()
     num_rows, num_cols = m.shape
     counts = np.diff(m.indptr)
-    K = max(int(counts.max()) if num_rows else 0, 1)
+    K = max(int(counts.max()) if num_rows else 0, 1, width or 1)
 
     order = (np.argsort(-counts, kind="stable") if sort_rows
              else np.arange(num_rows))

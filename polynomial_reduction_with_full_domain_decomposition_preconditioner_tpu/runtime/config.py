@@ -1,0 +1,139 @@
+"""Unified runtime configuration.
+
+The reference scatters configuration across three mechanisms (SURVEY.md
+section 5.6): compile-time macros (/root/reference/config.hpp:19-44),
+header-constant hyperparameters sed-patched per experiment
+(run.py:151-157; domain.hpp:114-118; subdomain.hpp:228-238), and CLI args
+(poisson.cpp:63-68). This module unifies all of them into one dataclass
+that the driver, sweep runner, and tests share.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+
+__all__ = ["Config"]
+
+
+@dataclass
+class Config:
+    # ---- problem (the reference CLI, poisson.cpp:63-68) ----
+    mesh: str = "kershaw"              # kershaw | box
+    shape: tuple = (8, 8, 8)           # element grid (mx, my[, mz])
+    epsilon: float = 0.3               # Kershaw distortion (run.py:24-49)
+    poly_degree: int = 7               # N (run.py:12)
+    poly_reduction: int = 6            # reduction (run.py:13)
+    subdomain_overlap: int = 1         # (run.py:14)
+    superdomain_overlap: int = 1       # accepted for CLI parity; the
+    #   composite keeps the far field at order 1 (v1 capability note in
+    #   solvers/subdomain.py), so this has no effect yet
+
+    # ---- precision (config.hpp:19-20, AMG/config.hpp:4) ----
+    stype: str = "float32"             # outer solver dtype (ref double)
+    ptype: str = "float32"             # preconditioner dtype (ref Float)
+
+    # ---- outer solver (domain.hpp:114-118) ----
+    solver: str = "fgmres"             # fgmres | fcg  (ref solver_id)
+    num_vectors: int = 20              # GMRES restart length
+    max_iterations: int = 500
+    tolerance: float | None = None     # None -> 1e-7 f64 / 1e-4 f32
+
+    # ---- preconditioner (subdomain.hpp:228-238) ----
+    preconditioner: str = "composite"  # composite | pmultigrid | jacobi |
+    #   none  (reference production = composite Subdomain)
+    inner_iterations: int = 4          # num_vectors=max_iterations=4
+    inner: str = "amg"                 # composite inner: amg|jacobi|none
+    num_vcycles: int = 1
+    cheby_order: int = 2
+    max_coarse: int = 600              # dense coarse-solve threshold
+    #   (replaces level_cutoff: no CPU/GPU split on TPU — SURVEY 5.1)
+
+    # ---- execution ----
+    num_shards: int = 1
+    manufactured_solution: int = 4     # ids 0-4 (domain.tpp:527-580)
+    seed: int = 0
+    output: str | None = None          # npz/vtk field dump path
+
+    def stype_dtype(self):
+        import jax.numpy as jnp
+        return {"float32": jnp.float32, "float64": jnp.float64,
+                "bfloat16": jnp.bfloat16}[self.stype]
+
+    def ptype_dtype(self):
+        import jax.numpy as jnp
+        return {"float32": jnp.float32, "float64": jnp.float64,
+                "bfloat16": jnp.bfloat16}[self.ptype]
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    def to_json(self) -> str:
+        d = dataclasses.asdict(self)
+        d["shape"] = list(self.shape)
+        return json.dumps(d, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "Config":
+        d = json.loads(s)
+        d["shape"] = tuple(d["shape"])
+        return cls(**d)
+
+    @classmethod
+    def from_args(cls, argv) -> "Config":
+        """Parse CLI arguments (superset of the reference's positional
+        '<dir> <N> <reduction> <sub_overlap> <sup_overlap>',
+        poisson.cpp:63-68)."""
+        import argparse
+
+        p = argparse.ArgumentParser(
+            prog="polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu",
+            description="TPU-native SEM Poisson solver with the full-domain-"
+                        "decomposition + polynomial-reduction preconditioner")
+        d = cls()
+        p.add_argument("poly_degree", type=int, nargs="?",
+                       default=d.poly_degree)
+        p.add_argument("poly_reduction", type=int, nargs="?",
+                       default=d.poly_reduction)
+        p.add_argument("subdomain_overlap", type=int, nargs="?",
+                       default=d.subdomain_overlap)
+        p.add_argument("superdomain_overlap", type=int, nargs="?",
+                       default=d.superdomain_overlap)
+        p.add_argument("--mesh", default=d.mesh, choices=["kershaw", "box"])
+        p.add_argument("--shape", default=",".join(map(str, d.shape)))
+        p.add_argument("--epsilon", type=float, default=d.epsilon)
+        p.add_argument("--stype", default=d.stype)
+        p.add_argument("--ptype", default=d.ptype)
+        p.add_argument("--solver", default=d.solver,
+                       choices=["fgmres", "fcg"])
+        p.add_argument("--num-vectors", type=int, default=d.num_vectors)
+        p.add_argument("--max-iterations", type=int, default=d.max_iterations)
+        p.add_argument("--tolerance", type=float, default=None)
+        p.add_argument("--preconditioner", default=d.preconditioner,
+                       choices=["composite", "pmultigrid", "jacobi", "none"])
+        p.add_argument("--inner", default=d.inner,
+                       choices=["amg", "jacobi", "none"])
+        p.add_argument("--inner-iterations", type=int,
+                       default=d.inner_iterations)
+        p.add_argument("--num-vcycles", type=int, default=d.num_vcycles)
+        p.add_argument("--cheby-order", type=int, default=d.cheby_order)
+        p.add_argument("--num-shards", type=int, default=d.num_shards)
+        p.add_argument("--solution-id", type=int,
+                       default=d.manufactured_solution)
+        p.add_argument("--seed", type=int, default=d.seed)
+        p.add_argument("--output", default=None)
+        a = p.parse_args(argv)
+        return cls(
+            mesh=a.mesh, shape=tuple(int(x) for x in a.shape.split(",")),
+            epsilon=a.epsilon, poly_degree=a.poly_degree,
+            poly_reduction=a.poly_reduction,
+            subdomain_overlap=a.subdomain_overlap,
+            superdomain_overlap=a.superdomain_overlap,
+            stype=a.stype, ptype=a.ptype, solver=a.solver,
+            num_vectors=a.num_vectors, max_iterations=a.max_iterations,
+            tolerance=a.tolerance, preconditioner=a.preconditioner,
+            inner=a.inner, inner_iterations=a.inner_iterations,
+            num_vcycles=a.num_vcycles, cheby_order=a.cheby_order,
+            num_shards=a.num_shards, manufactured_solution=a.solution_id,
+            seed=a.seed, output=a.output)

@@ -1,0 +1,127 @@
+"""Solver driver: the reference's poisson.cpp rebuilt for TPU.
+
+Reproduces the reference flow (/root/reference/poisson.cpp:150-250):
+build the mesh/level hierarchy, construct the preconditioner, manufacture
+the RHS f = A u* from a random u* (poisson.cpp:211-219), run FCG/FGMRES,
+and print the run-info block + convergence history + timing report
+(poisson.cpp:237-401).
+"""
+
+from __future__ import annotations
+
+import sys
+from functools import partial
+
+import numpy as np
+
+from .config import Config
+from .timer import Timer
+
+__all__ = ["run_simulation"]
+
+
+def _build_domain(cfg: Config, device_mesh=None):
+    import jax.numpy as jnp
+    from ..mesh import generator as mg
+    from ..mesh.partition import partition_mesh
+    from ..solvers.domain import Domain
+
+    if cfg.mesh == "kershaw":
+        builder = partial(mg.kershaw_mesh, cfg.shape, epsilon=cfg.epsilon)
+    else:
+        builder = partial(mg.box_mesh, cfg.shape)
+    mesh = builder(cfg.poly_degree)
+    sd = partition_mesh(mesh, cfg.num_shards)
+    dom = Domain(sd, dtype=cfg.stype_dtype(), device_mesh=device_mesh)
+    return dom, builder
+
+
+def _build_preconditioner(cfg: Config, dom, mesh_builder):
+    from ..solvers import preconditioners as pc
+    from ..solvers import subdomain as sub
+
+    if cfg.preconditioner == "composite":
+        return sub.composite_dd(
+            dom, mesh_builder, poly_reduction=cfg.poly_reduction,
+            subdomain_overlap=cfg.subdomain_overlap,
+            num_iterations=cfg.inner_iterations, inner=cfg.inner,
+            num_vcycles=cfg.num_vcycles, cheby_order=cfg.cheby_order,
+            ptype=cfg.ptype_dtype(), max_coarse=cfg.max_coarse)
+    if cfg.preconditioner == "pmultigrid":
+        return pc.pmultigrid(dom, mesh_builder,
+                             poly_reduction=cfg.poly_reduction)
+    if cfg.preconditioner == "jacobi":
+        return pc.jacobi(dom)
+    return None
+
+
+def run_simulation(cfg: Config, out=sys.stdout) -> dict:
+    """Run one configured solve; returns a structured result record."""
+    import jax
+
+    timer = Timer()
+    timer.initialize()
+
+    device_mesh = None
+    if cfg.num_shards > 1:
+        device_mesh = jax.make_mesh((cfg.num_shards,), ("shard",))
+
+    with timer("setup.domain"):
+        dom, mesh_builder = _build_domain(cfg, device_mesh)
+    with timer("setup.preconditioner"):
+        pre = _build_preconditioner(cfg, dom, mesh_builder)
+
+    # run-info block (poisson.cpp:237-250)
+    sd = dom.sharded
+    print(f"dimensions:           {dom.dim}", file=out)
+    print(f"elements:             {sd.num_total_elements}", file=out)
+    print(f"polynomial degree:    {cfg.poly_degree}", file=out)
+    print(f"polynomial reduction: {cfg.poly_reduction}", file=out)
+    print(f"shards:               {cfg.num_shards}", file=out)
+    print(f"outer solver:         {cfg.solver} "
+          f"(stype={cfg.stype})", file=out)
+    print(f"preconditioner:       {cfg.preconditioner} "
+          f"(inner={cfg.inner}, ptype={cfg.ptype})", file=out)
+
+    with timer("setup.rhs"):
+        u_star = dom.initial_function(cfg.manufactured_solution,
+                                      seed=cfg.seed)
+        f = dom.manufacture_rhs(u_star)
+
+    solve = dom.solver(method=cfg.solver, precond=pre,
+                       max_iterations=cfg.max_iterations,
+                       num_vectors=cfg.num_vectors,
+                       tolerance=cfg.tolerance)
+    with timer("solve.compile"):
+        res = solve(f)
+        jax.block_until_ready(res.u)
+    with timer("solve.run"):
+        res = solve(f)
+        jax.block_until_ready(res.u)
+
+    hist = np.asarray(res.residual_history)
+    iters = int(res.iterations)
+    for k in range(min(iters + 1, hist.shape[0])):
+        if np.isfinite(hist[k]):
+            # per-iteration residual print (domain.tpp:683)
+            print(f"iteration: {k:4d}  residual: {hist[k]:.6e}", file=out)
+    err = float(np.abs(dom.from_device_field(res.u)
+                       - dom.from_device_field(u_star)).max())
+    print(f"converged: {bool(res.converged)}  iterations: {iters}  "
+          f"max|u - u*|: {err:.3e}", file=out)
+    print(timer.report(), file=out)
+
+    if cfg.output:
+        from ..io.fields import save_fields
+        save_fields(cfg.output, dom, u=res.u, u_star=u_star, f=f)
+        print(f"fields written to {cfg.output}", file=out)
+
+    return {
+        "config": cfg.to_json(),
+        "converged": bool(res.converged),
+        "iterations": iters,
+        "residual_history": hist[np.isfinite(hist)].tolist(),
+        "max_error": err,
+        "solve_seconds": timer.total("solve.run"),
+        "timers": timer.as_dict(),
+    }

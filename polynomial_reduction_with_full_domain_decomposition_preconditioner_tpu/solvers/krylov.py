@@ -49,7 +49,9 @@ class KrylovResult:
 
 
 def _res_norm(r, dssum_plain, dot):
-    return jnp.sqrt(dot(r, dssum_plain(r)))
+    # clamp: <r, QQt r> >= 0 exactly, but roundoff can drive a tiny result
+    # negative once the residual reaches machine precision (breakdown guard)
+    return jnp.sqrt(jnp.maximum(dot(r, dssum_plain(r)), 0.0))
 
 
 def fcg(operator, precond, dssum_plain, dot, dot2, f, *,
@@ -154,7 +156,8 @@ def fgmres(operator, precond, dssum_plain, dot, f, *,
         # build bases from r (not fresh zeros) so they inherit r's
         # shard-varying type under shard_map (vma tracking)
         zero_row = r * 0.0  # elementwise, keeps vma type (zeros_like may not)
-        V = jnp.repeat(zero_row[None], m + 1, axis=0).at[0].set(r / g0)
+        g0_safe = jnp.where(g0 > 0.0, g0, 1.0)  # exact-convergence breakdown
+        V = jnp.repeat(zero_row[None], m + 1, axis=0).at[0].set(r / g0_safe)
         Z = jnp.repeat(zero_row[None], m, axis=0)
         H = jnp.zeros((m + 1, m), dtype=dtype) + seed
         gam = (jnp.zeros((m + 1,), dtype=dtype) + seed).at[0].set(g0)
@@ -174,7 +177,8 @@ def fgmres(operator, precond, dssum_plain, dot, f, *,
                 q = q - jnp.einsum("i,iN->N", h, V,
                                    precision=jax.lax.Precision.HIGHEST)
                 # recompute the projected norm on the orthogonalized q
-                alpha = jnp.sqrt(dot(q, dssum_plain(q)))
+                # (clamped: roundoff-negative once q hits machine zero)
+                alpha = jnp.sqrt(jnp.maximum(dot(q, dssum_plain(q)), 0.0))
 
                 # apply accumulated Givens rotations to the new column
                 def rot(i, hcol):
@@ -187,14 +191,16 @@ def fgmres(operator, precond, dssum_plain, dot, f, *,
                 hcol = jax.lax.fori_loop(0, m, rot, h)
 
                 beta = jnp.sqrt(hcol[j] ** 2 + alpha ** 2)
-                cj = hcol[j] / beta
-                sj = alpha / beta
+                beta_safe = jnp.where(beta > 0.0, beta, 1.0)  # breakdown
+                cj = hcol[j] / beta_safe
+                sj = alpha / beta_safe
                 hcol = hcol.at[j].set(beta)
                 gam_new = gam.at[j + 1].set(-sj * gam[j]).at[j].set(cj * gam[j])
                 rnorm = jnp.abs(gam_new[j + 1])
 
                 H_new = H.at[:, j].set(hcol)
-                V_new = V.at[j + 1].set(q / alpha)
+                alpha_safe = jnp.where(alpha > 0.0, alpha, 1.0)
+                V_new = V.at[j + 1].set(q / alpha_safe)
                 hist = hist.at[it + 1].set(rnorm)
                 stop = jnp.logical_or(rnorm < target, jnp.isnan(rnorm))
                 stop = jnp.logical_or(stop, alpha == 0.0)
@@ -226,7 +232,8 @@ def fgmres(operator, precond, dssum_plain, dot, f, *,
                 contrib = jnp.where(
                     (jnp.arange(m) > k) & (jnp.arange(m) <= jlast),
                     H[k, :] * y, 0.0).sum()
-                return y.at[k].set((gam[k] - contrib) / H[k, k])
+                hkk = jnp.where(H[k, k] != 0.0, H[k, k], 1.0)  # breakdown
+                return y.at[k].set((gam[k] - contrib) / hkk)
             return jax.lax.cond(kk <= jlast, active_fn, lambda y: y, y)
 
         y = jax.lax.fori_loop(0, m, back, jnp.zeros((m,), dtype=dtype) + seed)

@@ -95,7 +95,11 @@ def _build_group_specs(S, V, L, orders, total_layers):
 def composite_dd(domain, mesh_builder, poly_reduction: int,
                  subdomain_overlap: int = 1,
                  num_iterations: int = 4,
-                 use_inner_qqt: bool = True) -> Preconditioner:
+                 inner: str = "amg",
+                 num_vcycles: int = 1,
+                 cheby_order: int = 2,
+                 ptype=None,
+                 max_coarse: int = 600) -> Preconditioner:
     """Build the composite DD+polynomial-reduction preconditioner.
 
     domain: the fine-level Domain (structured, slab-partitioned).
@@ -103,6 +107,17 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
     poly_reduction: the reference's CLI poly_reduction (poisson.cpp:63).
     subdomain_overlap: ring thickness in layers (reference sub_overlap).
     num_iterations: fixed inner FGMRES iterations (subdomain.hpp:229-230).
+    inner: the composite solve's own preconditioner — "amg" is the
+      reference's low-order FEM V-cycle (S12/S13, subdomain.tpp:2749-3704,
+      rebuilt in amg/), "jacobi" the assembled-diagonal stand-in, "none"
+      the reference's use_preconditioner=false path (subdomain.tpp:4192).
+    num_vcycles / cheby_order: V-cycle hyperparameters (subdomain.hpp:
+      231-234, defaults 1 and 2 as the reference).
+    ptype: preconditioner precision (the reference's PTYPE, config.hpp:20);
+      the whole composite solve runs in ptype with casts at the
+      tree-operator boundary (subdomain.okl:268-282). Default: the
+      domain's dtype (no mixed precision).
+    max_coarse: coarsest-level size for the dense MXU solve.
     """
     sd = domain.sharded
     if sd.structured is None:
@@ -110,7 +125,7 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
                                   "slab-partitioned domain")
     dim = domain.dim
     N = domain.poly_degree
-    dtype = domain.dtype
+    dtype = ptype if ptype is not None else domain.dtype
     Pn = sd.num_shards
     elem_shape = sd.structured.elem_shape
     m_last = elem_shape[-1]
@@ -223,14 +238,27 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
         "Jlvl": Jlvl,
     }
 
+    if inner == "amg":
+        from ..amg.composite import build_composite_hierarchy
+        from ..amg.vcycle import pack_hierarchies
+        shard_ids = range(Pn) if domain.spmd else [0]
+        hiers = [build_composite_hierarchy(
+            groups, mesh_by_order, plane_shape, m_last, p * S, dim,
+            max_coarse=max_coarse) for p in shard_ids]
+        extra["amg"] = pack_hierarchies(hiers, dtype=dtype,
+                                        stack=domain.spmd)
+
     def extra_specs(ax):
-        return {
+        specs = {
             "groups": [{"geom": P(ax), "mask": P(ax), "weight": P(ax),
                         "D": P()} for _ in group_data],
             "adj": P(ax),
             "J": {k: P() for k in Jmats},
             "Jlvl": [P() for _ in Jlvl],
         }
+        if inner == "amg":
+            specs["amg"] = jax.tree.map(lambda _: P(ax), extra["amg"])
+        return specs
 
     # ---- static shape info ----
     def lat_shape(g):
@@ -418,32 +446,50 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
             return join(parts)
 
         # ---- inner solve: fixed FGMRES (subdomain.tpp:4309-4489) ----
-        # inner preconditioner: continuous inverse assembled diagonal of
-        # the composite operator (Jacobi) — stands in for the reference's
-        # low-order FEM AMG V-cycle (S12/S13) until amg/ lands; the plain
-        # QQt path is the reference's own use_preconditioner=false mode
-        comp_diag = join([
-            sem.stiffness_diagonal_lattice(gd["geom"], gd["D"], dim)
-            for gd in groups_x])
-        comp_diag_c = comp_dssum(comp_diag, apply_mask=False)
-        comp_inv_diag = jnp.where(comp_diag_c > 0, 1.0 / comp_diag_c, 0.0)
+        if inner == "amg":
+            # the reference's low-order FEM AMG V-cycle (S12/S13,
+            # subdomain.tpp:3987-4159), all-device (amg/vcycle.py)
+            from ..amg.vcycle import composite_preconditioner
+            amg_apply = composite_preconditioner(
+                extra["amg"], cheby_order=cheby_order,
+                num_cycles=num_vcycles)
+            comp_mask = jnp.concatenate(
+                [gd["mask"].reshape(-1) for gd in groups_x])
 
-        def inner_precond(rr):
-            return comp_dssum(rr, apply_mask=True) * comp_inv_diag
+            def inner_precond(rr):
+                return amg_apply(rr) * comp_mask
+        elif inner == "jacobi":
+            # continuous inverse assembled diagonal of the composite
+            comp_diag = join([
+                sem.stiffness_diagonal_lattice(gd["geom"], gd["D"], dim)
+                for gd in groups_x])
+            comp_diag_c = comp_dssum(comp_diag, apply_mask=False)
+            comp_inv_diag = jnp.where(comp_diag_c > 0,
+                                      1.0 / comp_diag_c, 0.0)
+
+            def inner_precond(rr):
+                return comp_dssum(rr, apply_mask=True) * comp_inv_diag
+        else:
+            # the reference's use_preconditioner=false bring-up mode
+            # (subdomain.tpp:4192-4193): plain composite QQt
+            def inner_precond(rr):
+                return comp_dssum(rr, apply_mask=True)
 
         def precond(r):
-            f_comp = tree_rhs(r)
+            # STYPE -> PTYPE cast at the tree-operator boundary
+            # (copy_from_domain_data, subdomain.okl:268-274)
+            f_comp = tree_rhs(r.astype(dtype))
             res = krylov.fgmres(
-                comp_operator,
-                inner_precond if use_inner_qqt else (lambda x: x),
+                comp_operator, inner_precond,
                 lambda rr: comp_dssum(rr, apply_mask=True),
                 comp_dot, f_comp,
                 max_iterations=num_iterations,
                 num_vectors=num_iterations,
                 tolerance=0.0)
-            # extract the own-slab portion (copy_to_domain_data,
-            # subdomain.okl:276-282); outer stitching makes it continuous
-            z = res.u[:group_sizes[0]]
+            # extract the own-slab portion and cast back
+            # (copy_to_domain_data, subdomain.okl:276-282); outer
+            # stitching makes it continuous
+            z = res.u[:group_sizes[0]].astype(domain.dtype)
             return dssum_f(z, apply_mask=True, apply_weight=True)
 
         return precond

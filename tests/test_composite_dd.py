@@ -74,3 +74,44 @@ def test_composite_dd_fcg_outer():
     assert bool(res.converged)
     err = np.abs(np.asarray(res.u) - np.asarray(u_star)).max()
     assert err < 1e-6
+
+
+def test_composite_dd_amg_inner_beats_jacobi():
+    # M6 acceptance: the low-order FEM V-cycle inner preconditioner
+    # (reference S12/S13) needs fewer outer iterations than the Jacobi
+    # stand-in at identical settings
+    shape, N = (2, 2, 16), 3
+    mesh, dom = build(8, shape, N)
+    u_star = dom.initial_function(4, seed=7)
+    f = dom.manufacture_rhs(u_star)
+    mk = partial(mg.kershaw_mesh, shape, epsilon=0.3)
+    it = {}
+    for inner in ["amg", "jacobi"]:
+        pre = sub.composite_dd(dom, mk, poly_reduction=2, inner=inner)
+        res = dom.solver(method="fgmres", max_iterations=200,
+                         tolerance=1e-8, precond=pre)(f)
+        assert bool(res.converged), inner
+        it[inner] = int(res.iterations)
+    assert it["amg"] < it["jacobi"], it
+
+
+def test_composite_dd_mixed_precision_ptype():
+    # the reference's production precision split: STYPE double outer,
+    # PTYPE float preconditioner (config.hpp:19-20, subdomain.okl:268-282)
+    shape, N = (4, 16), 4
+    mesh, dom = build(8, shape, N)
+    u_star = dom.initial_function(4, seed=9)
+    f = dom.manufacture_rhs(u_star)
+    mk = partial(mg.kershaw_mesh, shape, epsilon=0.3)
+    pre64 = sub.composite_dd(dom, mk, poly_reduction=3)
+    pre32 = sub.composite_dd(dom, mk, poly_reduction=3, ptype=jnp.float32)
+    r64 = dom.solver(method="fgmres", max_iterations=200, tolerance=1e-9,
+                     precond=pre64)(f)
+    r32 = dom.solver(method="fgmres", max_iterations=200, tolerance=1e-9,
+                     precond=pre32)(f)
+    assert bool(r32.converged)
+    # a float32 preconditioner must not degrade outer convergence much
+    assert int(r32.iterations) <= int(r64.iterations) + 5, (
+        int(r32.iterations), int(r64.iterations))
+    err = np.abs(np.asarray(r32.u) - np.asarray(u_star)).max()
+    assert err < 1e-7
