@@ -68,7 +68,7 @@ def _simplex_stiffness(verts):
     return K
 
 
-def p1_stiffness_grid(X: np.ndarray) -> sp.csr_matrix:
+def p1_stiffness_grid(X: np.ndarray, use_native: bool = True) -> sp.csr_matrix:
     """Assemble the P1 stiffness matrix on a structured node grid.
 
     X: (nz, ny, nx, 3) or (ny, nx, 2) node coordinates (any warped grid —
@@ -80,7 +80,22 @@ def p1_stiffness_grid(X: np.ndarray) -> sp.csr_matrix:
     X = np.asarray(X, dtype=np.float64)
     dim = X.shape[-1]
     grid = X.shape[:-1]
-    nid = np.arange(int(np.prod(grid)), dtype=np.int64).reshape(grid)
+    n = int(np.prod(grid))
+
+    # native C++ fast path (utils/native.py; the reference's setup is
+    # native C++ throughout — subdomain.tpp:2845-3038)
+    from ..utils import native
+    ent = native.p1_fem_coo(X) if use_native else None
+    if ent is not None:
+        rows_n, cols_n, vals_n = ent
+        A = native.coo_to_csr(rows_n, cols_n, vals_n, (n, n))
+        if A is None:
+            A = sp.coo_matrix((vals_n, (rows_n, cols_n)),
+                              shape=(n, n)).tocsr()
+            A.sum_duplicates()
+        return A
+
+    nid = np.arange(n, dtype=np.int64).reshape(grid)
 
     if dim == 2:
         ny, nx = grid
@@ -119,7 +134,6 @@ def p1_stiffness_grid(X: np.ndarray) -> sp.csr_matrix:
     else:
         raise ValueError(f"dim must be 2 or 3, got {dim}")
 
-    n = int(np.prod(grid))
     A = sp.coo_matrix(
         (np.concatenate(vals),
          (np.concatenate(rows), np.concatenate(cols))),

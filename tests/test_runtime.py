@@ -1,0 +1,145 @@
+"""Runtime layer: config, timer, driver CLI, sweep, io, native kernels."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.runtime.config import Config
+from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.runtime.timer import Timer
+from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.runtime.driver import run_simulation
+from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.runtime import sweep as sw
+from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.runtime import analysis as an
+
+
+def test_config_cli_roundtrip():
+    cfg = Config.from_args(["5", "4", "1", "1", "--mesh", "box",
+                            "--shape", "4,4,8", "--num-shards", "2",
+                            "--solver", "fcg", "--ptype", "float32"])
+    assert cfg.poly_degree == 5 and cfg.poly_reduction == 4
+    assert cfg.shape == (4, 4, 8) and cfg.mesh == "box"
+    assert cfg.solver == "fcg" and cfg.num_shards == 2
+    cfg2 = Config.from_json(cfg.to_json())
+    assert cfg2 == cfg
+
+
+def test_timer_accumulates_and_reports():
+    t = Timer(sync=False)
+    t.initialize()
+    with t("solve.run"):
+        x = sum(range(1000))
+    with t("solve.run"):
+        pass
+    assert t.as_dict()["solve.run"]["count"] == 2
+    assert "solve.run" in t.report()
+    assert x == 499500
+
+
+def test_driver_end_to_end(tmp_path, capsys):
+    cfg = Config(mesh="kershaw", shape=(3, 3, 8), epsilon=0.3,
+                 poly_degree=3, poly_reduction=2, solver="fgmres",
+                 preconditioner="composite", inner="amg",
+                 max_iterations=80, stype="float64", ptype="float32",
+                 tolerance=1e-9, output=str(tmp_path / "fields.npz"))
+    rec = run_simulation(cfg)
+    assert rec["converged"]
+    assert rec["iterations"] < 25
+    assert rec["max_error"] < 1e-6
+    data = np.load(tmp_path / "fields.npz")
+    assert "u" in data and "u_star" in data and "coords" in data
+    assert np.isfinite(data["u"]).all()
+
+
+def test_driver_vtk_output(tmp_path):
+    cfg = Config(mesh="box", shape=(2, 2, 4), poly_degree=2,
+                 poly_reduction=1, preconditioner="jacobi",
+                 max_iterations=300, tolerance=1e-6,
+                 output=str(tmp_path / "fields.vtk"))
+    rec = run_simulation(cfg)
+    text = (tmp_path / "fields.vtk").read_text()
+    assert "DATASET UNSTRUCTURED_GRID" in text
+    assert "SCALARS u" in text
+    assert rec["converged"]
+
+
+def test_sweep_runs_and_resumes(tmp_path):
+    base = Config(mesh="box", shape=(2, 2, 4), poly_degree=2,
+                  poly_reduction=1, preconditioner="jacobi",
+                  max_iterations=300, tolerance=1e-6)
+    out = str(tmp_path / "sweep")
+    res1 = sw.sweep(base, {"solver": ["fcg", "fgmres"]}, out)
+    assert len(res1) == 2 and all(r["converged"] for r in res1)
+    # resume: no recomputation, results loaded from disk
+    files = sorted(os.listdir(out))
+    res2 = sw.sweep(base, {"solver": ["fcg", "fgmres"]}, out)
+    assert sorted(os.listdir(out)) == files
+    assert len(res2) == 2
+
+
+def test_analysis_dense_oracle_matches_matrix_free():
+    # the analysis.py cross-validation role: assembled dense operator vs
+    # the matrix-free device apply + dssum
+    import jax.numpy as jnp
+    from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.mesh import generator as mg
+    from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.mesh.partition import partition_mesh
+    from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.solvers.domain import Domain
+
+    mesh = mg.kershaw_mesh((3, 4), 3, epsilon=0.3)
+    A = an.assembled_operator_dense(mesh)
+    assert np.abs(A - A.T).max() < 1e-10
+
+    dom = Domain(partition_mesh(mesh, 1), dtype=jnp.float64)
+    rng = np.random.default_rng(0)
+    v_nodes = rng.standard_normal(mesh.num_nodes)
+    mask = np.ones(mesh.num_nodes)
+    for e in range(mesh.num_elements):
+        mask[mesh.glo_num[e]] = np.minimum(mask[mesh.glo_num[e]],
+                                           mesh.dirichlet_mask[e])
+    v_nodes *= mask
+    u_pts = v_nodes[mesh.glo_num.reshape(-1)]
+    au = dom.apply_operator(dom.to_device_field(u_pts))
+    au_sum = dom.dssum_field(au)
+    au_elem = dom.from_device_field(au_sum).reshape(-1)
+    want_nodes = (A @ v_nodes) * mask
+    got_first = {}
+    ok = True
+    for i, g in enumerate(mesh.glo_num.reshape(-1)):
+        if mask[g] == 0.0:
+            continue
+        ok = ok and abs(au_elem[i] - want_nodes[g]) < 1e-9
+    assert ok
+
+
+def test_compare_histories():
+    h1 = [1.0, 0.1, 0.01, 0.001]
+    h2 = [1.0, 0.11, 0.012, 0.0011]
+    rep = an.compare_histories(h1, h2)
+    assert rep["match"]
+    rep2 = an.compare_histories([1.0, 0.5, 0.25, 0.12, 0.06, 0.03],
+                                [1.0, 1e-6])
+    assert not rep2["match"]
+
+
+def test_native_kernels_match_python():
+    from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.utils import native
+    from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.amg.fem import p1_stiffness_grid
+    if not native.available():
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(1)
+    X = np.stack(np.meshgrid(*[np.linspace(0, 1, s) for s in (5, 6, 7)],
+                             indexing="ij")[::-1], axis=-1)
+    X = X + 0.02 * rng.standard_normal(X.shape)
+    A_py = p1_stiffness_grid(X, use_native=False)
+    A_nat = p1_stiffness_grid(X, use_native=True)
+    assert (A_py != A_nat).nnz == 0 or abs(A_py - A_nat).max() < 1e-13
+
+    # coo_to_csr vs scipy on random duplicated COO
+    rows = rng.integers(0, 50, 2000)
+    cols = rng.integers(0, 40, 2000)
+    vals = rng.standard_normal(2000)
+    import scipy.sparse as sp
+    want = sp.coo_matrix((vals, (rows, cols)), shape=(50, 40)).tocsr()
+    want.sum_duplicates()
+    got = native.coo_to_csr(rows, cols, vals, (50, 40))
+    assert abs(want - got).max() < 1e-13
