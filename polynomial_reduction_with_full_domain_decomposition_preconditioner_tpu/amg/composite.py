@@ -165,13 +165,26 @@ def _grid_boundary_mask(shape) -> np.ndarray:
     return m.reshape(-1)
 
 
-def coarsen_matrix_chain(A0, grid_shape, max_coarse: int = 600):
+def coarsen_chain_info(A0, grid_shape, max_coarse: int = 600) -> dict:
     """Geometric coarsen-by-2 Galerkin chain on a tensor node grid.
 
-    A0 must already be Dirichlet-folded on the grid boundary. Returns
-    (mats, prolongs, lmaxs, coarse_inv)."""
-    mats, prolongs, lmaxs = [A0.tocsr()], [], []
+    A0 must already be Dirichlet-folded on the grid boundary. Returns a
+    dict with:
+      mats:     level CSR matrices (A0 first)
+      shapes:   level grid shapes
+      masks:    per-level boundary masks (1 interior / 0 Dirichlet)
+      factors:  per-transfer list of 1-D interpolation factors [Pz, Py, Px]
+                (P_l = kron of factors, masked both sides)
+      prolongs: the assembled masked kron prolongation matrices
+      lmaxs:    lambda_max(D^-1 A_l) per non-coarsest level
+      coarse_inv: dense inverse of the coarsest matrix
+    The 1-D factors let the device apply transfers as dense per-axis MXU
+    contractions instead of sparse gathers (ops/stencil.py rationale).
+    """
     shape = tuple(grid_shape)
+    info = {"mats": [A0.tocsr()], "shapes": [shape],
+            "masks": [_grid_boundary_mask(shape)], "factors": [],
+            "prolongs": [], "lmaxs": [], "coarse_inv": None}
     while int(np.prod(shape)) > max_coarse and max(shape) > 2:
         Ps = [_coarsen_interp_1d(s) for s in shape]
         P = Ps[0]
@@ -182,14 +195,48 @@ def coarsen_matrix_chain(A0, grid_shape, max_coarse: int = 600):
         # mask P on both sides so boundary values never couple through RAP
         fmask = _grid_boundary_mask(shape)
         P = sp.diags(fmask) @ P @ sp.diags(cmask)
-        Ac = (P.T @ mats[-1] @ P).tocsr()
+        Ac = (P.T @ info["mats"][-1] @ P).tocsr()
         Ac = _mask_fold(Ac, cmask)
-        lmaxs.append(_power_lmax(mats[-1]))
-        prolongs.append(P.tocsr())
-        mats.append(Ac)
+        info["lmaxs"].append(_power_lmax(info["mats"][-1]))
+        info["factors"].append([Pd.toarray() for Pd in Ps])
+        info["prolongs"].append(P.tocsr())
+        info["mats"].append(Ac)
+        info["shapes"].append(cshape)
+        info["masks"].append(cmask)
         shape = cshape
-    coarse_inv = np.linalg.inv(mats[-1].toarray())
-    return mats, prolongs, lmaxs, coarse_inv
+    info["coarse_inv"] = np.linalg.inv(info["mats"][-1].toarray())
+    return info
+
+
+def coarsen_matrix_chain(A0, grid_shape, max_coarse: int = 600):
+    """Compatibility wrapper: (mats, prolongs, lmaxs, coarse_inv)."""
+    info = coarsen_chain_info(A0, grid_shape, max_coarse)
+    return info["mats"], info["prolongs"], info["lmaxs"], info["coarse_inv"]
+
+
+def vertex_q1_hierarchy(mesh_order1, plane_shape, m_last: int, dim: int,
+                        max_coarse: int = 600) -> dict:
+    """Q1/P1 low-order hierarchy on the global element-vertex grid.
+
+    The matrix-free hybrid preconditioner (solvers/subdomain.py inner
+    'amg') smooths the composite SEM operator directly and only needs a
+    coarse-grid correction on the element-vertex space — the same role the
+    reference's superdomain Q1 matrix + BoomerAMG hierarchy plays
+    (subdomain.tpp:1642-1858), built here by direct P1 re-discretization
+    on the warped vertex grid (FEM-SEM equivalence) + coarsen-by-2
+    Galerkin RAP. Global and shard-independent (replicated), like the
+    reference's allgathered coarse matrix.
+    """
+    plane_shape = tuple(plane_shape)
+    blocks = [_block_grid_coords(mesh_order1, q, plane_shape, dim)
+              for q in range(m_last)]
+    X = np.concatenate([blocks[0]] + [b[1:] for b in blocks[1:]], axis=0)
+    vert_shape = (m_last + 1,) + tuple(ps + 1 for ps in plane_shape)
+    assert X.shape[:-1] == vert_shape
+    A1 = p1_stiffness_grid(X)
+    vmask = _grid_boundary_mask(vert_shape)
+    A1 = _mask_fold(A1, vmask)
+    return coarsen_chain_info(A1, vert_shape, max_coarse=max_coarse)
 
 
 # ---------------------------------------------------------------------------

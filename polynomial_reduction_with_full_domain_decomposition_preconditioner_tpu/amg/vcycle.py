@@ -91,22 +91,29 @@ def pack_hierarchies(hiers: list[HostHierarchy], dtype=jnp.float32,
     return tree
 
 
-def cheby_smooth(A: EllMatrix, invd, lmax, f, u, order: int):
+def _apply(A, x):
+    """Level-operator dispatch: an EllMatrix, or any callable x -> A x
+    (the matrix-free SEM composite operator of the hybrid V-cycle)."""
+    return A(x) if callable(A) else ell_spmv(A, x)
+
+
+def cheby_smooth(A, invd, lmax, f, u, order: int):
     """Diagonal-preconditioned Chebyshev smoothing on [0.3*lmax, lmax]
-    (the fused smoother ops of AMG/kernels.cu:25-76, here fused by XLA)."""
+    (the fused smoother ops of AMG/kernels.cu:25-76, here fused by XLA).
+    A: EllMatrix or a matrix-free callable."""
     lmin = CHEBY_FRACTION * lmax
     theta = 0.5 * (lmax + lmin)
     delta = 0.5 * (lmax - lmin)
     sigma = theta / delta
     rho = 1.0 / sigma
-    r = f if u is None else f - ell_spmv(A, u)
+    r = f if u is None else f - _apply(A, u)
     d = (invd * r) / theta
     if u is None:
         u = d
     else:
         u = u + d
     for _ in range(order - 1):
-        r = r - ell_spmv(A, d)
+        r = r - _apply(A, d)
         rho_new = 1.0 / (2.0 * sigma - rho)
         d = rho_new * rho * d + (2.0 * rho_new / delta) * (invd * r)
         rho = rho_new
@@ -143,6 +150,69 @@ def vcycle_apply(tree, f, *, cheby_order: int = 2, num_cycles: int = 1):
     for _ in range(num_cycles - 1):
         u = u + cycle(0, f - ell_spmv(levels[0]["A"], u))
     return u
+
+
+def pack_chain(info: dict, dtype=jnp.float32) -> dict:
+    """Device pytree for a replicated tensor-grid chain (amg/composite.
+    coarsen_chain_info output): level matrices in stencil form
+    (ops/stencil.py — dense rolls, no gathers), transfers as per-axis
+    dense factors (MXU contractions)."""
+    from ..ops.stencil import stencil_from_csr
+
+    dim = len(info["shapes"][0])
+    nlev = len(info["mats"])
+    levels = []
+    for l in range(nlev):
+        A = info["mats"][l]
+        d = A.diagonal()
+        levels.append({
+            "coefs": stencil_from_csr(A, info["shapes"][l], dtype=dtype),
+            "invd": jnp.asarray(np.where(d > 0, 1.0 / d, 0.0), dtype=dtype),
+            "lmax": jnp.asarray(info["lmaxs"][l] if l < nlev - 1 else 1.0,
+                                dtype=dtype),
+        })
+    return {
+        "levels": levels,
+        "factors": [[jnp.asarray(F, dtype=dtype) for F in Fs]
+                    for Fs in info["factors"]],
+        "masks": [jnp.asarray(m, dtype=dtype) for m in info["masks"]],
+        "coarse_inv": jnp.asarray(info["coarse_inv"], dtype=dtype),
+    }
+
+
+def chain_vcycle(chain: dict, f, *, cheby_order: int = 2):
+    """V(1,1) cycle on a pack_chain tree — all stencil rolls and dense
+    per-axis contractions (zero gathers)."""
+    from ..ops.stencil import stencil_apply
+    from ..ops.interp import axis_contract
+
+    levels = chain["levels"]
+    dim = levels[0]["coefs"].ndim - 1  # static (from array rank)
+    nlev = len(levels)
+
+    def transfer(l, v, down: bool):
+        """down: restrict level l -> l+1 (factors transposed); up:
+        prolong level l+1 -> l."""
+        Fs = chain["factors"][l]
+        shape_in = levels[l if down else l + 1]["coefs"].shape[1:]
+        V = v.reshape(shape_in)
+        for ax, F in enumerate(Fs):
+            V = axis_contract(F.T if down else F, V, ax)
+        V = V.reshape(-1)
+        return V * chain["masks"][l + 1 if down else l]
+
+    def cycle(l, fl):
+        if l == nlev - 1:
+            return jnp.dot(chain["coarse_inv"], fl,
+                           precision=jax.lax.Precision.HIGHEST)
+        lv = levels[l]
+        A = lambda x: stencil_apply(lv["coefs"], x, dim)
+        u = cheby_smooth(A, lv["invd"], lv["lmax"], fl, None, cheby_order)
+        fc = transfer(l, fl - A(u), down=True)
+        u = u + transfer(l, cycle(l + 1, fc), down=False)
+        return cheby_smooth(A, lv["invd"], lv["lmax"], fl, u, cheby_order)
+
+    return cycle(0, f)
 
 
 def composite_preconditioner(tree, *, cheby_order: int = 2,

@@ -17,7 +17,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["tensor_apply", "prolongate", "restrict", "lattice_tensor_apply"]
+__all__ = ["tensor_apply", "prolongate", "restrict", "lattice_tensor_apply",
+           "axis_contract"]
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -56,6 +57,15 @@ def lattice_tensor_apply(U, M, dim: int):
         V = jnp.moveaxis(V, -1, axis + 1)
         U = V.reshape(shape[:axis] + (m * n_out,) + shape[axis + 1:])
     return U
+
+
+def axis_contract(M, U, axis: int):
+    """Contract one full lattice axis with a dense operator M (n_out,
+    n_in), U.shape[axis] == n_in. One dense MXU contraction — the gather-
+    free form of grid transfer (vertex-grid prolongation/restriction)."""
+    V = jnp.moveaxis(U, axis, -1)
+    V = jnp.einsum("oi,...i->...o", M, V, precision=_HI)
+    return jnp.moveaxis(V, -1, axis)
 
 
 def prolongate(u_c, J, dim: int):

@@ -252,7 +252,7 @@ class Domain:
         return jax.tree.map(sq, extra_specs, extra,
                             is_leaf=lambda s: isinstance(s, P))
 
-    def _solve_impl(self, arrays, extra, f, precond_builder, method,
+    def _solve_impl(self, arrays, extra, f, *, precond_builder, method,
                     max_iterations, num_vectors, tolerance, use_relative):
         operator, dssum, dot, dot2 = self._ops(arrays)
         dssum_plain = lambda r: dssum(r, apply_mask=True, apply_weight=False)
@@ -321,8 +321,13 @@ class Domain:
             fn = jax.shard_map(spmd_impl, mesh=mesh,
                                in_specs=(_specs(ax), extra_specs, P(ax)),
                                out_specs=out_specs)
-            return jax.jit(lambda f: fn(self.arrays, extra, f))
-        return jax.jit(lambda f: impl(self.arrays, extra, f))
+            # arrays/extra are jit *arguments*, not closure captures: a
+            # captured device array becomes an XLA constant, and constant
+            # folding over operator-sized constants stalls compilation
+            jfn = jax.jit(fn)
+            return lambda f: jfn(self.arrays, extra, f)
+        jimpl = jax.jit(impl)
+        return lambda f: jimpl(self.arrays, extra, f)
 
     # ---- fields and manufactured solutions ----
 

@@ -238,7 +238,78 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
         "Jlvl": Jlvl,
     }
 
+    def core_specs(ax):
+        return {
+            "groups": [{"geom": P(ax), "mask": P(ax), "weight": P(ax),
+                        "D": P()} for _ in group_data],
+            "adj": P(ax),
+            "J": {k: P() for k in Jmats},
+            "Jlvl": [P() for _ in Jlvl],
+        }
+
+    amg_specs = None
     if inner == "amg":
+        # matrix-free hybrid (TPU-native redesign of S12/S13): Chebyshev
+        # smoothing directly on the composite SEM operator — MXU tensor
+        # contractions + structured dssum, no assembled fine matrix, no
+        # gathers (XLA TPU gathers measured at ~0.1 Gnnz/s) — plus a
+        # replicated vertex-grid Q1 Galerkin chain in stencil form (the
+        # reference superdomain-Q1 + BoomerAMG role, subdomain.tpp:
+        # 1642-1858, by direct P1 re-discretization).
+        from ..amg.composite import vertex_q1_hierarchy
+        from ..amg.vcycle import pack_chain
+        mesh1 = mesh_by_order.get(1) or mesh_builder(1)
+        chain_info = vertex_q1_hierarchy(mesh1, plane_shape, m_last, dim,
+                                         max_coarse=max_coarse)
+        chain = pack_chain(chain_info, dtype=dtype)
+
+        # per-group trilinear vertex->lattice factors: dense per-axis
+        # contraction matrices (gather-free transfers)
+        from ..utils.gll import gll_points_weights
+
+        def lin_blend(n_o):
+            r_, _ = gll_points_weights(n_o)
+            return (r_ + 1.0) / 2.0
+
+        P1p = []   # per group, per plane dim (replicated)
+        P1z = []   # per group, z factor (per shard: cyclic physical layers)
+        for g in groups:
+            n_o = g.order + 1
+            t = lin_blend(n_o)
+            facs = []
+            for ps in plane_shape:
+                F = np.zeros((ps * n_o, ps + 1))
+                for e in range(ps):
+                    F[e * n_o:(e + 1) * n_o, e] = 1.0 - t
+                    F[e * n_o:(e + 1) * n_o, e + 1] = t
+                facs.append(jnp.asarray(F, dtype=dtype))
+            P1p.append(facs)
+            mats = []
+            for p in range(Pn):
+                F = np.zeros((g.layers * n_o, m_last + 1))
+                for k in range(g.layers):
+                    q = (p * S + g.start_pos + k) % m_last
+                    F[k * n_o:(k + 1) * n_o, q] = 1.0 - t
+                    F[k * n_o:(k + 1) * n_o, q + 1] = t
+                mats.append(F)
+            arr = np.stack(mats) if domain.spmd else mats[0]
+            P1z.append(jnp.asarray(arr, dtype=dtype))
+
+        extra["amg"] = {"chain": chain, "P1p": P1p, "P1z": P1z}
+
+        def amg_specs_fn(ax):
+            return {
+                "chain": jax.tree.map(lambda _: P(), chain),
+                "P1p": [[P() for _ in fs] for fs in P1p],
+                "P1z": [P(ax) for _ in P1z],
+                "lmax0": P(ax),
+            }
+
+        amg_specs = amg_specs_fn
+    elif inner == "fem-amg":
+        # reference-faithful path: composite low-order FEM matrix (S12)
+        # with an ELL-matrix hierarchy (S13) — the correctness oracle;
+        # slower on TPU than the matrix-free hybrid (gather-bound)
         from ..amg.composite import build_composite_hierarchy
         from ..amg.vcycle import pack_hierarchies
         shard_ids = range(Pn) if domain.spmd else [0]
@@ -249,14 +320,10 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
                                         stack=domain.spmd)
 
     def extra_specs(ax):
-        specs = {
-            "groups": [{"geom": P(ax), "mask": P(ax), "weight": P(ax),
-                        "D": P()} for _ in group_data],
-            "adj": P(ax),
-            "J": {k: P() for k in Jmats},
-            "Jlvl": [P() for _ in Jlvl],
-        }
+        specs = core_specs(ax)
         if inner == "amg":
+            specs["amg"] = amg_specs(ax)
+        elif inner == "fem-amg":
             specs["amg"] = jax.tree.map(lambda _: P(ax), extra["amg"])
         return specs
 
@@ -274,8 +341,10 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
     # below-ring level l = neighbor-below's layers [S-(l+1)*V, S-l*V)
     far_index = 1 + L if G == 2 + 2 * L else None
 
-    def build(arrays, extra, ops):
-        operator_f, dssum_f, dot_f, dot2_f = ops
+    def make_ops(extra):
+        """Shard-local composite ops from the (squeezed) extra pytree.
+        Factored out of build() so setup-time device computations (the
+        Chebyshev lambda_max power iteration) trace the identical code."""
         ax = domain.axis_name
         groups_x = extra["groups"]
         adj_x = extra["adj"]        # (G,)
@@ -445,8 +514,82 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
 
             return join(parts)
 
+        return {"split": split, "join": join,
+                "comp_operator": comp_operator, "comp_dssum": comp_dssum,
+                "comp_dot": comp_dot, "tree_rhs": tree_rhs,
+                "groups_x": groups_x}
+
+    def comp_inv_diag_of(ops_c):
+        """Continuous inverse assembled diagonal of the composite SEM
+        operator (matrix-free, exact for conforming nodes)."""
+        groups_x = ops_c["groups_x"]
+        diag = ops_c["join"]([
+            sem.stiffness_diagonal_lattice(gd["geom"], gd["D"], dim)
+            for gd in groups_x])
+        diag_c = ops_c["comp_dssum"](diag, apply_mask=False)
+        return jnp.where(diag_c > 0, 1.0 / diag_c, 0.0)
+
+    vert_shape = (m_last + 1,) + tuple(ps + 1 for ps in plane_shape)
+
+    def build(arrays, extra, ops):
+        operator_f, dssum_f, dot_f, dot2_f = ops
+        ops_c = make_ops(extra)
+        split, join = ops_c["split"], ops_c["join"]
+        comp_operator = ops_c["comp_operator"]
+        comp_dssum = ops_c["comp_dssum"]
+        comp_dot = ops_c["comp_dot"]
+        tree_rhs = ops_c["tree_rhs"]
+        groups_x = extra["groups"]
+
         # ---- inner solve: fixed FGMRES (subdomain.tpp:4309-4489) ----
         if inner == "amg":
+            # matrix-free hybrid V-cycle: Chebyshev smoothing on the
+            # composite SEM operator itself + vertex-grid stencil chain
+            from ..amg.vcycle import cheby_smooth, chain_vcycle
+            from ..ops.interp import axis_contract
+            amg_x = extra["amg"]
+            chain = amg_x["chain"]
+            lmax0 = amg_x["lmax0"]
+            comp_inv_diag = comp_inv_diag_of(ops_c)
+            comp_mask = join([gd["mask"].reshape(-1) for gd in groups_x])
+
+            def A_mf(x):
+                return comp_dssum(comp_operator(x), apply_mask=True)
+
+            def restrict_to_vertex(r):
+                parts = split(r)
+                acc = None
+                for gi in range(G):
+                    U = parts[gi] * groups_x[gi]["weight"]
+                    V = axis_contract(amg_x["P1z"][gi].T, U, 0)
+                    for d, F in enumerate(amg_x["P1p"][gi]):
+                        V = axis_contract(F.T, V, d + 1)
+                    acc = V if acc is None else acc + V
+                return acc.reshape(-1) * chain["masks"][0]
+
+            def prolong_from_vertex(v):
+                V0 = v.reshape(vert_shape)
+                outs = []
+                for gi in range(G):
+                    V = axis_contract(amg_x["P1z"][gi], V0, 0)
+                    for d, F in enumerate(amg_x["P1p"][gi]):
+                        V = axis_contract(F, V, d + 1)
+                    outs.append(V.reshape(-1))
+                return jnp.concatenate(outs)
+
+            def inner_precond(rr):
+                fc = comp_dssum(rr, apply_mask=True)
+                x = cheby_smooth(A_mf, comp_inv_diag, lmax0, fc, None,
+                                 cheby_order)
+                for _ in range(num_vcycles):
+                    r = fc - A_mf(x)
+                    v = chain_vcycle(chain, restrict_to_vertex(r),
+                                     cheby_order=cheby_order)
+                    x = (x + prolong_from_vertex(v) * comp_mask)
+                    x = cheby_smooth(A_mf, comp_inv_diag, lmax0, fc, x,
+                                     cheby_order)
+                return x
+        elif inner == "fem-amg":
             # the reference's low-order FEM AMG V-cycle (S12/S13,
             # subdomain.tpp:3987-4159), all-device (amg/vcycle.py)
             from ..amg.vcycle import composite_preconditioner
@@ -493,6 +636,54 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
             return dssum_f(z, apply_mask=True, apply_weight=True)
 
         return precond
+
+    if inner == "amg":
+        # Chebyshev needs lambda_max(D^-1 A) of the composite SEM
+        # operator; estimated once at setup by device power iteration over
+        # the same traced ops (hypre's eigenvalue-estimate role,
+        # subdomain.tpp:3496-3497)
+        core = {k: extra[k] for k in ("groups", "adj", "J", "Jlvl")}
+
+        def _lmax_impl(core_x):
+            ops_c = make_ops(core_x)
+            invd = comp_inv_diag_of(ops_c)
+            groups_x = core_x["groups"]
+            join = ops_c["join"]
+            mask = join([gd["mask"].reshape(-1) for gd in groups_x])
+            w = join([gd["weight"].reshape(-1) for gd in groups_x])
+            n_tot = mask.shape[0]
+            x0 = jnp.sin(jnp.arange(n_tot, dtype=dtype) * 0.7311) * mask
+
+            def body(_, carry):
+                x, lam = carry
+                y = invd * ops_c["comp_dssum"](ops_c["comp_operator"](x),
+                                               apply_mask=True)
+                num = jnp.dot(y, w * y)
+                den = jnp.maximum(jnp.dot(x, w * x), 1e-30)
+                lam = jnp.sqrt(num / den)
+                return (y / jnp.maximum(jnp.sqrt(num), 1e-30), lam)
+
+            # seed lam from x0 so it carries the same shard-varying vma
+            # type as the loop body's output (shard_map scan requirement)
+            lam0 = jnp.dot(x0, x0) * 0.0 + 1.0
+            _, lam = jax.lax.fori_loop(0, 20, body, (x0, lam0))
+            return lam * 1.1    # safety: power iteration converges from below
+
+        if domain.spmd:
+            ax = domain.axis_name
+            cspecs = core_specs(ax)
+
+            def _spmd_lmax(core_x):
+                sq = jax.tree.map(
+                    lambda s, x: x[0] if s == P(ax) else x, cspecs, core_x,
+                    is_leaf=lambda s: isinstance(s, P))
+                return _lmax_impl(sq)[None]
+
+            fn = jax.shard_map(_spmd_lmax, mesh=domain.device_mesh,
+                               in_specs=(cspecs,), out_specs=P(ax))
+            extra["amg"]["lmax0"] = jax.jit(fn)(core)
+        else:
+            extra["amg"]["lmax0"] = jax.jit(_lmax_impl)(core)
 
     return Preconditioner(build=build, extra=extra,
                           _extra_specs=extra_specs)
