@@ -89,13 +89,33 @@ def _roll_masks(M: int, n: int, dtype):
     return jnp.asarray(hi, dtype), jnp.asarray(lo, dtype)
 
 
+def _use_pallas_face_sum(U) -> bool:
+    """The fused one-pass Pallas kernel (ops/pallas_kernels.py) needs a
+    TPU backend and tile-aligned minor dims; everything else falls back to
+    the XLA roll form."""
+    if U.ndim != 3 or U.dtype != jnp.float32:
+        return False
+    if U.shape[2] % 128 != 0 or U.shape[1] % 8 != 0:
+        return False
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        return False
+    return platform in ("tpu", "axon")
+
+
 def lattice_face_sum(U, n: int, axes=None):
     """Coincident-face summation on a point-lattice array, per direction:
     ``U += hi_d * roll(U,-1,d) + lo_d * roll(U,+1,d)`` — two lane
     rotations and two masked adds. No gathers, no minor-axis slicing
     (arbitrary-index gather/scatter and (..., n, n) minor-dim slicing both
     lower to catastrophically slow TPU code; measured 17ms / 2.8ms vs
-    ~0.13ms for this form on 885k points)."""
+    ~0.13ms for this form on 885k points). On TPU with aligned 3-D shapes
+    the fused one-HBM-pass Pallas kernel is used instead (the hottest op
+    of the preconditioned solve: ~30 calls per outer iteration)."""
+    if axes is None and _use_pallas_face_sum(U):
+        from .pallas_kernels import lattice_face_sum_3d
+        return lattice_face_sum_3d(U, n)
     dtype = U.dtype
     ndim = U.ndim
     for ax in (axes if axes is not None else range(ndim - 1, -1, -1)):

@@ -1,0 +1,43 @@
+"""Pallas TPU kernels, validated in interpreter mode on CPU.
+
+The driver bench runs the compiled kernels on real TPU hardware; CI
+validates numerics via the Pallas interpreter against the XLA roll
+implementation (which is itself validated against the generic
+gather-scatter in test_dssum_paths.py)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.ops import gather_scatter as gs
+from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.ops import pallas_kernels as pk
+
+
+@pytest.fixture
+def interpret_pallas(monkeypatch):
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pl, "pallas_call", patched)
+
+
+@pytest.mark.parametrize("shape,n", [
+    ((16, 16, 16), 4), ((24, 12, 8), 4), ((8, 8, 8), 2),
+    ((32, 16, 16), 8), ((16, 8, 24), 8),
+])
+def test_face_sum_kernel_matches_rolls(interpret_pallas, shape, n):
+    rng = np.random.default_rng(0)
+    U = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    want = gs.lattice_face_sum(U, n, axes=(2, 1, 0))
+    got = pk.lattice_face_sum_3d(U, n)
+    assert float(jnp.abs(want - got).max()) == 0.0
+
+
+def test_dispatch_falls_back_off_tpu():
+    # CPU backend: the dispatcher must use the roll path (no pallas_call)
+    assert not gs._use_pallas_face_sum(jnp.zeros((16, 16, 128)))

@@ -1,0 +1,95 @@
+"""Convergence parity vs an independent dense/scipy oracle.
+
+The reference's correctness criterion is residual-history/iteration-count
+parity (SURVEY.md section 4: per-iteration residual prints are the test).
+With no published numbers, the oracle here is scipy Krylov on the densely
+assembled operator: the framework's matrix-free FCG/FGMRES must match its
+convergence behavior on the same discrete problem.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.mesh import generator as mg
+from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.mesh.partition import partition_mesh
+from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.solvers.domain import Domain
+from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.runtime.analysis import (
+    assembled_operator_dense, compare_histories)
+
+
+def _node_mask_and_rhs(mesh, dom, f):
+    E, npe = mesh.glo_num.shape
+    N = mesh.num_nodes
+    mask = np.ones(N)
+    for e in range(E):
+        mask[mesh.glo_num[e]] = np.minimum(mask[mesh.glo_num[e]],
+                                           mesh.dirichlet_mask[e])
+    # assemble the point RHS to nodes: f_nodes = Q^T f
+    f_elem = dom.from_device_field(f).reshape(-1)
+    f_nodes = np.zeros(N)
+    np.add.at(f_nodes, mesh.glo_num.reshape(-1), f_elem)
+    return mask, f_nodes * mask
+
+
+def test_cg_iteration_parity_vs_scipy():
+    mesh = mg.kershaw_mesh((3, 3, 4), 3, epsilon=0.3)
+    dom = Domain(partition_mesh(mesh, 1), dtype=jnp.float64)
+    u_star = dom.initial_function(4, seed=11)
+    f = dom.manufacture_rhs(u_star)
+
+    res = dom.solver(method="fcg", max_iterations=500, tolerance=1e-8)(f)
+    assert bool(res.converged)
+    ours = int(res.iterations)
+
+    A = assembled_operator_dense(mesh)
+    mask, b = _node_mask_and_rhs(mesh, dom, f)
+    # unpreconditioned CG on the assembled system, same relative tolerance
+    x = np.zeros_like(b)
+    r = b.copy()
+    p = r.copy()
+    rz = r @ r
+    b0 = np.sqrt(rz)
+    oracle = 0
+    for oracle in range(1, 501):
+        Ap = A @ p
+        alpha = rz / (p @ Ap)
+        x += alpha * p
+        r -= alpha * Ap
+        rz_new = r @ r
+        if np.sqrt(rz_new) < 1e-8 * b0:
+            break
+        p = r + (rz_new / rz) * p
+        rz = rz_new
+    # FCG on the same operator must converge within ~25% of plain CG
+    assert abs(ours - oracle) <= max(3, int(0.25 * oracle)), (ours, oracle)
+
+
+def test_fgmres_history_matches_scipy_gmres():
+    mesh = mg.kershaw_mesh((3, 4), 2, epsilon=0.3)
+    dom = Domain(partition_mesh(mesh, 1), dtype=jnp.float64)
+    u_star = dom.initial_function(1)
+    f = dom.manufacture_rhs(u_star)
+    res = dom.solver(method="fgmres", max_iterations=300, num_vectors=30,
+                     tolerance=1e-8)(f)
+    assert bool(res.converged)
+    hist = np.asarray(res.residual_history)
+    hist = hist[np.isfinite(hist)]
+
+    A = assembled_operator_dense(mesh)
+    mask, b = _node_mask_and_rhs(mesh, dom, f)
+    import scipy.sparse.linalg as spla
+    count = {"n": 0}
+    oracle_hist = [np.linalg.norm(b)]
+
+    def cb(rk):
+        count["n"] += 1
+        oracle_hist.append(rk * np.linalg.norm(b))
+
+    spla.gmres(A, b, rtol=1e-8, restart=30, maxiter=300, callback=cb,
+               callback_type="pr_norm")
+    # same restart length, same tolerance: iteration counts within 25%
+    assert abs(len(hist) - len(oracle_hist)) <= max(
+        4, int(0.25 * len(oracle_hist))), (len(hist), len(oracle_hist))
+    rep = compare_histories(hist, oracle_hist, rtol=0.5)
+    assert rep["max_log_rel_dev"] < 0.5, rep
