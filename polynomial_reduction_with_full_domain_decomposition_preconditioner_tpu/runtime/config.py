@@ -49,6 +49,7 @@ class Config:
     cheby_order: int = 2
     max_coarse: int = 600              # dense coarse-solve threshold
     #   (replaces level_cutoff: no CPU/GPU split on TPU — SURVEY 5.1)
+    far_coarsen: str | int = "auto"    # far-field z-merge factor (S10)
 
     # ---- execution ----
     num_shards: int = 1

@@ -46,7 +46,8 @@ def _build_preconditioner(cfg: Config, dom, mesh_builder):
             subdomain_overlap=cfg.subdomain_overlap,
             num_iterations=cfg.inner_iterations, inner=cfg.inner,
             num_vcycles=cfg.num_vcycles, cheby_order=cfg.cheby_order,
-            ptype=cfg.ptype_dtype(), max_coarse=cfg.max_coarse)
+            ptype=cfg.ptype_dtype(), max_coarse=cfg.max_coarse,
+            far_coarsen=cfg.far_coarsen)
     if cfg.preconditioner == "pmultigrid":
         return pc.pmultigrid(dom, mesh_builder,
                              poly_reduction=cfg.poly_reduction)

@@ -28,13 +28,19 @@ benchmark family):
   planes are interpolatory images of the coarse plane, their adjoint
   contributions collapse onto the coarse plane before conforming assembly.
 
-Deliberate v1 simplifications (documented capability gaps, tracked for
-later rounds): the far field is kept at order 1 rather than AMG-compressed
-(reference S10, subdomain.tpp:1632-2579 — a scalability optimisation, not
-a semantic difference at benchmark scale); the composite solve is
-preconditioned by composite-QQt (the reference's own bring-up mode,
-use_preconditioner=false path) rather than the low-order FEM AMG V-cycle
-(S12/S13); meshes must be structured with mz divisible by the shard count.
+The far field is compressed by merging z element layers (``far_coarsen``,
+the reference's superdomain compression role S10, subdomain.tpp:1632-2579
+— there via a BoomerAMG-derived composite prolongation, here by geometric
+h-coarsening of the order-1 far mesh, whose vertex planes are an exact
+subset of the fine ones for the vertex-warped mesh family). The composite
+solve is preconditioned by the matrix-free hybrid V-cycle (inner="amg"),
+the assembled low-order FEM hierarchy (inner="fem-amg", S12/S13), Jacobi,
+or plain QQt (the reference's use_preconditioner=false bring-up mode).
+
+Remaining v1 constraint: meshes must be structured with mz divisible by
+the shard count; ``superdomain_overlap`` is accepted for CLI parity but
+inert (the reference uses it to grow AMG-level overlap inside the
+compressed superdomain, subdomain.tpp:1860-1992).
 """
 
 from __future__ import annotations
@@ -61,15 +67,22 @@ __all__ = ["composite_dd"]
 @dataclass(frozen=True)
 class _GroupSpec:
     order: int          # polynomial order of this layer group
-    layers: int         # number of element layers
-    start_pos: int      # first layer position (cyclic, relative to own slab)
+    layers: int         # number of element layers (in zcoarse units)
+    start_pos: int      # first layer position (cyclic, FINE layer units)
+    zcoarse: int = 1    # z element-merge factor (1 = fine layers)
+
+    @property
+    def fine_extent(self) -> int:
+        return self.layers * self.zcoarse
 
 
-def _build_group_specs(S, V, L, orders, total_layers):
+def _build_group_specs(S, V, L, orders, total_layers, far_zcoarse: int = 1):
     """Layer groups in cyclic position order: own slab, rings above
-    (orders[0..L-1], V layers each), far field (order 1), rings below
-    (mirrored). Follows the reference's region growth semantics
-    (subdomain.tpp:479-531: ring l grown at poly_degree[l])."""
+    (orders[0..L-1], V layers each), far field (order 1, optionally
+    z-coarsened by far_zcoarse — the reference's superdomain compression
+    role, S10, subdomain.tpp:1632-2579), rings below (mirrored). Follows
+    the reference's region growth semantics (subdomain.tpp:479-531:
+    ring l grown at poly_degree[l])."""
     groups = [_GroupSpec(orders[0], S, 0)]
     if total_layers == S:
         return groups  # single shard: the composite is the whole domain
@@ -83,13 +96,86 @@ def _build_group_specs(S, V, L, orders, total_layers):
             f"mesh too small for overlap: need >= {S + 2 * V * L} layers, "
             f"have {total_layers}")
     if far > 0:
-        groups.append(_GroupSpec(orders[-1], far, pos))
+        F = far_zcoarse
+        assert far % F == 0
+        groups.append(_GroupSpec(orders[-1], far // F, pos, zcoarse=F))
         pos += far
     for l in range(L - 1, -1, -1):
         groups.append(_GroupSpec(orders[l], V, pos))
         pos += V
     assert pos == total_layers
     return groups
+
+
+def _auto_far_zcoarse(S, V, L, m_last):
+    """Largest F in {8,4,2} aligned for every shard: F must divide the own
+    slab (shard bases), the ring extent (far start offset), and m_last."""
+    far = m_last - S - 2 * V * L
+    for F in (8, 4, 2):
+        if far >= 2 * F and far % F == 0 and S % F == 0 \
+                and (V * L) % F == 0 and m_last % F == 0:
+            return F
+    return 1
+
+
+def _z_coarsen_order1_mesh(mesh1, F: int, plane_shape, dim: int):
+    """An order-1 mesh whose z element layers each merge F fine layers.
+
+    The mesh family is vertex-warped trilinear (mesh/generator.py), so the
+    coarse mesh's vertex planes are exactly every F-th fine vertex plane —
+    the coarse geometry is a subset grid of the fine one. Returns a
+    lightweight object with the GlobalMesh fields the composite setup
+    reads (poly_degree, coords, geom, dirichlet_mask, node_degree)."""
+    from types import SimpleNamespace
+    from ..mesh.generator import geometric_factors
+    from ..amg.composite import _block_grid_coords
+
+    m_last = mesh1.elem_shape[-1]
+    blocks = [_block_grid_coords(mesh1, q, plane_shape, dim)
+              for q in range(m_last)]
+    X = np.concatenate([blocks[0]] + [b[1:] for b in blocks[1:]], axis=0)
+    Xc = X[::F]                      # (m_last/F + 1, my+1, mx+1, dim)
+    vshape = Xc.shape[:-1]
+    mzc = vshape[0] - 1
+    rev_elems = tuple(s - 1 for s in vshape)      # (mzc, my, mx)
+    E = int(np.prod(rev_elems))
+
+    # element corner coords, storage (E, n_z=2, n_y=2, n_x=2, dim),
+    # x-fastest element ordering
+    corners = np.empty((E,) + (2,) * dim + (dim,))
+    grids = np.indices(rev_elems).reshape(dim, -1)   # (dim, E) z-major
+    for loc in np.ndindex(*(2,) * dim):
+        sel = tuple(grids[d] + loc[d] for d in range(dim))
+        corners[(slice(None),) + loc] = Xc[sel]
+    coords = corners.reshape(E, 2 ** dim, dim)
+    geom, _ = geometric_factors(coords, dim, 1)
+
+    # closed-form vertex multiplicity and boundary mask on the tensor grid
+    deg = np.ones(vshape)
+    mask = np.ones(vshape)
+    for d in range(dim):
+        idx = np.arange(vshape[d])
+        interior = (idx > 0) & (idx < vshape[d] - 1)
+        shp = [1] * dim
+        shp[d] = vshape[d]
+        deg = deg * np.where(interior, 2.0, 1.0).reshape(shp)
+        mask = mask * interior.astype(float).reshape(shp)
+
+    def per_elem(field):
+        out = np.empty((E,) + (2,) * dim)
+        for loc in np.ndindex(*(2,) * dim):
+            sel = tuple(grids[d] + loc[d] for d in range(dim))
+            out[(slice(None),) + loc] = field[sel]
+        return out.reshape(E, 2 ** dim)
+
+    return SimpleNamespace(
+        poly_degree=1,
+        elem_shape=tuple(reversed(rev_elems[1:])) + (mzc,),
+        coords=coords,
+        geom=geom,
+        dirichlet_mask=per_elem(mask),
+        node_degree=per_elem(deg).astype(np.int32),
+    )
 
 
 def composite_dd(domain, mesh_builder, poly_reduction: int,
@@ -99,7 +185,8 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
                  num_vcycles: int = 1,
                  cheby_order: int = 2,
                  ptype=None,
-                 max_coarse: int = 600) -> Preconditioner:
+                 max_coarse: int = 600,
+                 far_coarsen="auto") -> Preconditioner:
     """Build the composite DD+polynomial-reduction preconditioner.
 
     domain: the fine-level Domain (structured, slab-partitioned).
@@ -118,6 +205,11 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
       tree-operator boundary (subdomain.okl:268-282). Default: the
       domain's dtype (no mixed precision).
     max_coarse: coarsest-level size for the dense MXU solve.
+    far_coarsen: far-field z element-merge factor — the reference's
+      superdomain compression role (S10, subdomain.tpp:1632-2579): the
+      far field is carried on a z-coarsened order-1 mesh, shrinking the
+      per-shard composite from O(E_total) toward O(E_total / F). "auto"
+      picks the largest aligned factor in {8,4,2,1}; pass 1 to disable.
     """
     sd = domain.sharded
     if sd.structured is None:
@@ -147,13 +239,22 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
             f"own slab ({S} layers) must cover the ring depth ({V * L}) so "
             "rings come from nearest neighbors only")
 
-    groups = _build_group_specs(S, V, L, orders, m_last)
+    if far_coarsen == "auto":
+        Fz = _auto_far_zcoarse(S, V, L, m_last)
+    else:
+        Fz = int(far_coarsen)
+    if Fz > 1 and inner == "fem-amg":
+        raise ValueError("far_coarsen > 1 requires inner='amg' "
+                         "(the assembled fem-amg path assumes fine layers)")
+    groups = _build_group_specs(S, V, L, orders, m_last, far_zcoarse=Fz)
     G = len(groups)
 
     # host meshes at every order (geometry source; replaces the reference's
     # gs-tree population of region copies, subdomain.tpp:644-805)
     order_set = sorted(set(g.order for g in groups) | set(orders))
     mesh_by_order = {o: mesh_builder(o) for o in order_set}
+    mesh_far = (_z_coarsen_order1_mesh(mesh_by_order[1], Fz, plane_shape,
+                                       dim) if Fz > 1 else None)
 
     def layer_slice(mesh_o, phys_layers, field, trailing=()):
         """Extract per-layer element data and convert to lattice layout.
@@ -189,19 +290,30 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
     for p in range(Pn):
         base = p * S
         for gi, g in enumerate(groups):
-            # interface gi -> gi+1 sits after this group's last layer
-            last_pos = g.start_pos + g.layers - 1
-            phys_next = (base + last_pos + 1) % m_last
+            # interface gi -> gi+1 sits after this group's last fine layer
+            phys_next = (base + g.start_pos + g.fine_extent) % m_last
             adj[p, gi] = 0.0 if phys_next == 0 else 1.0
+
+    def group_phys(g, p):
+        """Physical layer indices for this group's stack, in the group's
+        own (possibly z-coarsened) layer units."""
+        base = p * S
+        if g.zcoarse == 1:
+            return [(base + g.start_pos + k) % m_last
+                    for k in range(g.layers)]
+        # the far group is F-aligned for every shard (_auto_far_zcoarse)
+        start_f = (base + g.start_pos) % m_last
+        assert start_f % g.zcoarse == 0
+        m_c = m_last // g.zcoarse
+        return [(start_f // g.zcoarse + k) % m_c for k in range(g.layers)]
 
     for gi, g in enumerate(groups):
         o = g.order
         n_o = o + 1
-        mesh_o = mesh_by_order[o]
+        mesh_o = mesh_far if g.zcoarse > 1 else mesh_by_order[o]
         geom_list, mask_list, wt_list = [], [], []
         for p in range(Pn):
-            base = p * S
-            phys = [(base + g.start_pos + k) % m_last for k in range(g.layers)]
+            phys = group_phys(g, p)
             geom_list.append(layer_slice(mesh_o, phys, mesh_o.geom,
                                          ))
             mask_list.append(layer_slice(mesh_o, phys,
@@ -238,14 +350,33 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
         "Jlvl": Jlvl,
     }
 
+    if Fz > 1:
+        # z prolongation fine-far -> coarse-far lattice (order-1 layers):
+        # P[(e,i), (c,j)] = linear shape function of coarse node j at fine
+        # plane e+i; restriction in tree_rhs applies P^T (replicated)
+        far_g = next(g for g in groups if g.zcoarse > 1)
+        nf, nc = far_g.fine_extent, far_g.layers
+        Pz = np.zeros((2 * nf, 2 * nc))
+        for k in range(2 * nf):
+            e, i = divmod(k, 2)
+            z = e + i
+            c = min(e // Fz, nc - 1)
+            t = (z - c * Fz) / Fz
+            Pz[k, 2 * c] += 1.0 - t
+            Pz[k, 2 * c + 1] += t
+        extra["Rzfar"] = jnp.asarray(Pz.T, dtype=dtype)
+
     def core_specs(ax):
-        return {
+        specs = {
             "groups": [{"geom": P(ax), "mask": P(ax), "weight": P(ax),
                         "D": P()} for _ in group_data],
             "adj": P(ax),
             "J": {k: P() for k in Jmats},
             "Jlvl": [P() for _ in Jlvl],
         }
+        if "Rzfar" in extra:
+            specs["Rzfar"] = P()
+        return specs
 
     amg_specs = None
     if inner == "amg":
@@ -288,9 +419,11 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
             for p in range(Pn):
                 F = np.zeros((g.layers * n_o, m_last + 1))
                 for k in range(g.layers):
-                    q = (p * S + g.start_pos + k) % m_last
+                    # fine vertex planes bounding layer k (z-coarsened
+                    # layers span zcoarse fine planes, always F-aligned)
+                    q = (p * S + g.start_pos + k * g.zcoarse) % m_last
                     F[k * n_o:(k + 1) * n_o, q] = 1.0 - t
-                    F[k * n_o:(k + 1) * n_o, q + 1] = t
+                    F[k * n_o:(k + 1) * n_o, q + g.zcoarse] = t
                 mats.append(F)
             arr = np.stack(mats) if domain.spmd else mats[0]
             P1z.append(jnp.asarray(arr, dtype=dtype))
@@ -350,6 +483,7 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
         adj_x = extra["adj"]        # (G,)
         Jx = extra["J"]
         Jlvl_x = extra["Jlvl"]
+        Rzfar_x = extra.get("Rzfar")
 
         # ---- composite vector <-> per-group lattice views ----
         def split(vec):
@@ -485,7 +619,9 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
 
             # far field: all_gather the coarsest level, roll to my cyclic
             # frame, slice the far positions (the reference's Allgatherv,
-            # subdomain.tpp:4620-4621)
+            # subdomain.tpp:4620-4621); with far z-coarsening the fine
+            # block is then restricted onto the merged layers (the
+            # reference's superdomain compression, S10)
             if far_index is not None:
                 n_c = n_per_lvl[-1]
                 if ax is not None and nsh > 1:
@@ -498,10 +634,14 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
                 # full: (m_last*n_c, MY_c, MX_c) in physical z order
                 shift = -(shard_id * S * n_c)
                 rolled = jnp.roll(full, shift, axis=0)
-                far_start = groups[far_index].start_pos * n_c
-                far_len = groups[far_index].layers * n_c
-                parts.append(jax.lax.dynamic_slice_in_dim(
-                    rolled, far_start, far_len, axis=0))
+                far_g = groups[far_index]
+                far_start = far_g.start_pos * n_c
+                far_len = far_g.fine_extent * n_c
+                far = jax.lax.dynamic_slice_in_dim(
+                    rolled, far_start, far_len, axis=0)
+                if far_g.zcoarse > 1:
+                    far = interp.axis_contract(Rzfar_x, far, 0)
+                parts.append(far)
 
             # rings below: level L-1 ... 0, from the shard below
             for l in range(L - 1, -1, -1):
@@ -642,7 +782,10 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
         # operator; estimated once at setup by device power iteration over
         # the same traced ops (hypre's eigenvalue-estimate role,
         # subdomain.tpp:3496-3497)
-        core = {k: extra[k] for k in ("groups", "adj", "J", "Jlvl")}
+        core = {k: extra[k] for k in ("groups", "adj", "J", "Jlvl")
+                if k in extra}
+        if "Rzfar" in extra:
+            core["Rzfar"] = extra["Rzfar"]
 
         def _lmax_impl(core_x):
             ops_c = make_ops(core_x)

@@ -115,3 +115,38 @@ def test_composite_dd_mixed_precision_ptype():
         int(r32.iterations), int(r64.iterations))
     err = np.abs(np.asarray(r32.u) - np.asarray(u_star)).max()
     assert err < 1e-7
+
+
+def test_far_field_z_coarsening_parity():
+    # the reference's superdomain compression (S10): merging far-field
+    # layers shrinks the per-shard composite without hurting convergence
+    from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.solvers.subdomain import (
+        _build_group_specs, _auto_far_zcoarse)
+
+    shape, N, r = (2, 2, 16), 3, 2
+    mesh, dom = build(8, shape, N)
+    u_star = dom.initial_function(4, seed=3)
+    f = dom.manufacture_rhs(u_star)
+    mk = partial(mg.kershaw_mesh, shape, epsilon=0.3)
+
+    assert _auto_far_zcoarse(2, 1, 2, 16) == 2  # active in this config
+
+    it = {}
+    for fc in [1, 2]:
+        pre = sub.composite_dd(dom, mk, poly_reduction=r, far_coarsen=fc)
+        res = dom.solver(method="fgmres", max_iterations=200,
+                         tolerance=1e-8, precond=pre)(f)
+        assert bool(res.converged), fc
+        it[fc] = int(res.iterations)
+        err = np.abs(np.asarray(res.u) - np.asarray(u_star)).max()
+        assert err < 1e-6, (fc, err)
+    # compression must not cost more than a few extra iterations
+    assert it[2] <= it[1] + 3, it
+
+    # composite size shrinks: far group 10 layers -> 5 merged layers
+    g1 = _build_group_specs(2, 1, 2, [3, 1], 16, far_zcoarse=1)
+    g2 = _build_group_specs(2, 1, 2, [3, 1], 16, far_zcoarse=2)
+    far1 = [g for g in g1 if g.start_pos == 4][0]
+    far2 = [g for g in g2 if g.start_pos == 4][0]
+    assert far1.layers == 10 and far2.layers == 5
+    assert far2.zcoarse == 2 and far2.fine_extent == 10
