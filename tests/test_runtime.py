@@ -143,3 +143,41 @@ def test_native_kernels_match_python():
     want.sum_duplicates()
     got = native.coo_to_csr(rows, cols, vals, (50, 40))
     assert abs(want - got).max() < 1e-13
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax.numpy as jnp
+    from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.runtime import checkpoint as ck
+    from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.amg import composite as comp
+    from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.mesh import generator as mg
+    from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.solvers.subdomain import _build_group_specs
+
+    mesh = mg.box_mesh((3, 3, 6), 2)
+    groups = _build_group_specs(6, 1, 1, [2], 6)
+    hs = [comp.build_composite_hierarchy(groups, {2: mesh}, (3, 3), 6, 0, 3)]
+    path = str(tmp_path / "setup.npz")
+    ck.save_hierarchies(path, hs)
+    back = ck.load_hierarchies(path)
+    assert len(back) == 1
+    h0, h1 = hs[0], back[0]
+    assert len(h0.mats) == len(h1.mats)
+    for a, b in zip(h0.mats, h1.mats):
+        assert abs(a - b).max() == 0.0
+    assert abs(h0.Q - h1.Q).max() == 0.0
+    assert np.allclose(h0.coarse_inv, h1.coarse_inv)
+    assert np.allclose(h0.lmaxs, h1.lmaxs)
+
+
+def test_nan_guard_stops_solver():
+    # SURVEY 5.3: NaN residuals must terminate the iteration cleanly
+    import jax.numpy as jnp
+    from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.mesh import generator as mg
+    from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.mesh.partition import partition_mesh
+    from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.solvers.domain import Domain
+
+    mesh = mg.box_mesh((2, 2, 4), 2)
+    dom = Domain(partition_mesh(mesh, 1), dtype=jnp.float64)
+    f = dom.to_device_field(np.full((1, mesh.num_points), np.nan))
+    res = dom.solver(method="fcg", max_iterations=50, tolerance=1e-8)(f)
+    assert not bool(res.converged)
+    assert int(res.iterations) <= 2  # stopped immediately, no hang
