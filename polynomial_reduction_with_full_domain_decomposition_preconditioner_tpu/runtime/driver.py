@@ -44,6 +44,7 @@ def _build_preconditioner(cfg: Config, dom, mesh_builder):
         return sub.composite_dd(
             dom, mesh_builder, poly_reduction=cfg.poly_reduction,
             subdomain_overlap=cfg.subdomain_overlap,
+            superdomain_overlap=cfg.superdomain_overlap,
             num_iterations=cfg.inner_iterations, inner=cfg.inner,
             num_vcycles=cfg.num_vcycles, cheby_order=cfg.cheby_order,
             ptype=cfg.ptype_dtype(), max_coarse=cfg.max_coarse,

@@ -76,13 +76,19 @@ class _GroupSpec:
         return self.layers * self.zcoarse
 
 
-def _build_group_specs(S, V, L, orders, total_layers, far_zcoarse: int = 1):
+def _build_group_specs(S, V, L, orders, total_layers, far_zcoarse: int = 1,
+                       sup_overlap: int = 1):
     """Layer groups in cyclic position order: own slab, rings above
-    (orders[0..L-1], V layers each), far field (order 1, optionally
-    z-coarsened by far_zcoarse — the reference's superdomain compression
-    role, S10, subdomain.tpp:1632-2579), rings below (mirrored). Follows
-    the reference's region growth semantics (subdomain.tpp:479-531:
-    ring l grown at poly_degree[l])."""
+    (orders[0..L-1], V layers each), far field (order 1), rings below
+    (mirrored). Follows the reference's region growth semantics
+    (subdomain.tpp:479-531: ring l grown at poly_degree[l]).
+
+    With far_zcoarse > 1 the far field is compressed (the reference's
+    superdomain compression role, S10, subdomain.tpp:1632-2579):
+    ``sup_overlap`` coarse-layer-widths of FINE order-1 layers are kept on
+    each side (the reference's superdomain_overlap — overlap between the
+    subdomain fringe and the compressed superdomain, subdomain.tpp:
+    1860-1992), and the middle is carried on z-merged layers."""
     groups = [_GroupSpec(orders[0], S, 0)]
     if total_layers == S:
         return groups  # single shard: the composite is the whole domain
@@ -97,9 +103,17 @@ def _build_group_specs(S, V, L, orders, total_layers, far_zcoarse: int = 1):
             f"have {total_layers}")
     if far > 0:
         F = far_zcoarse
-        assert far % F == 0
-        groups.append(_GroupSpec(orders[-1], far // F, pos, zcoarse=F))
-        pos += far
+        ov = sup_overlap * F if F > 1 else 0
+        assert (far - 2 * ov) % F == 0 and far - 2 * ov >= F or F == 1
+        if ov > 0:
+            groups.append(_GroupSpec(orders[-1], ov, pos))
+            pos += ov
+        mid = far - 2 * ov
+        groups.append(_GroupSpec(orders[-1], mid // F, pos, zcoarse=F))
+        pos += mid
+        if ov > 0:
+            groups.append(_GroupSpec(orders[-1], ov, pos))
+            pos += ov
     for l in range(L - 1, -1, -1):
         groups.append(_GroupSpec(orders[l], V, pos))
         pos += V
@@ -107,13 +121,14 @@ def _build_group_specs(S, V, L, orders, total_layers, far_zcoarse: int = 1):
     return groups
 
 
-def _auto_far_zcoarse(S, V, L, m_last):
+def _auto_far_zcoarse(S, V, L, m_last, sup_overlap: int = 1):
     """Largest F in {8,4,2} aligned for every shard: F must divide the own
-    slab (shard bases), the ring extent (far start offset), and m_last."""
+    slab (shard bases), the ring extent (far start offset), and m_last,
+    with room for the fine overlap layers plus >= 2 merged layers."""
     far = m_last - S - 2 * V * L
     for F in (8, 4, 2):
-        if far >= 2 * F and far % F == 0 and S % F == 0 \
-                and (V * L) % F == 0 and m_last % F == 0:
+        if far - 2 * sup_overlap * F >= 2 * F and far % F == 0 \
+                and S % F == 0 and (V * L) % F == 0 and m_last % F == 0:
             return F
     return 1
 
@@ -180,6 +195,7 @@ def _z_coarsen_order1_mesh(mesh1, F: int, plane_shape, dim: int):
 
 def composite_dd(domain, mesh_builder, poly_reduction: int,
                  subdomain_overlap: int = 1,
+                 superdomain_overlap: int = 1,
                  num_iterations: int = 4,
                  inner: str = "amg",
                  num_vcycles: int = 1,
@@ -193,6 +209,11 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
     mesh_builder(N_c): same element grid meshed at order N_c.
     poly_reduction: the reference's CLI poly_reduction (poisson.cpp:63).
     subdomain_overlap: ring thickness in layers (reference sub_overlap).
+    superdomain_overlap: when the far field is compressed (far_coarsen),
+      this many merged-layer-widths of FINE order-1 layers are kept on
+      each side of the compressed region (the reference's sup_overlap:
+      overlap between the subdomain fringe and the compressed
+      superdomain, subdomain.tpp:1860-1992). No effect at far_coarsen=1.
     num_iterations: fixed inner FGMRES iterations (subdomain.hpp:229-230).
     inner: the composite solve's own preconditioner — "amg" is the
       reference's low-order FEM V-cycle (S12/S13, subdomain.tpp:2749-3704,
@@ -240,13 +261,14 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
             "rings come from nearest neighbors only")
 
     if far_coarsen == "auto":
-        Fz = _auto_far_zcoarse(S, V, L, m_last)
+        Fz = _auto_far_zcoarse(S, V, L, m_last, superdomain_overlap)
     else:
         Fz = int(far_coarsen)
     if Fz > 1 and inner == "fem-amg":
         raise ValueError("far_coarsen > 1 requires inner='amg' "
                          "(the assembled fem-amg path assumes fine layers)")
-    groups = _build_group_specs(S, V, L, orders, m_last, far_zcoarse=Fz)
+    groups = _build_group_specs(S, V, L, orders, m_last, far_zcoarse=Fz,
+                                sup_overlap=superdomain_overlap)
     G = len(groups)
 
     # host meshes at every order (geometry source; replaces the reference's
@@ -472,7 +494,9 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
     # ring block positions within the *neighbor's* restricted slab:
     # above-ring level l = neighbor-above's layers [l*V, (l+1)*V)
     # below-ring level l = neighbor-below's layers [S-(l+1)*V, S-l*V)
-    far_index = 1 + L if G == 2 + 2 * L else None
+    # groups between the above-rings and below-rings (1-3 far groups:
+    # [fine overlap], compressed middle, [fine overlap])
+    far_idxs = list(range(1 + L, G - L)) if G > 1 + 2 * L else []
 
     def make_ops(extra):
         """Shard-local composite ops from the (squeezed) extra pytree.
@@ -618,11 +642,11 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
                 parts.append(block)
 
             # far field: all_gather the coarsest level, roll to my cyclic
-            # frame, slice the far positions (the reference's Allgatherv,
-            # subdomain.tpp:4620-4621); with far z-coarsening the fine
-            # block is then restricted onto the merged layers (the
-            # reference's superdomain compression, S10)
-            if far_index is not None:
+            # frame, slice each far group's positions (the reference's
+            # Allgatherv, subdomain.tpp:4620-4621); z-coarsened groups are
+            # restricted onto their merged layers (superdomain
+            # compression, S10)
+            if far_idxs:
                 n_c = n_per_lvl[-1]
                 if ax is not None and nsh > 1:
                     full = jax.lax.all_gather(r_lvl[-1], ax, axis=0,
@@ -634,14 +658,14 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
                 # full: (m_last*n_c, MY_c, MX_c) in physical z order
                 shift = -(shard_id * S * n_c)
                 rolled = jnp.roll(full, shift, axis=0)
-                far_g = groups[far_index]
-                far_start = far_g.start_pos * n_c
-                far_len = far_g.fine_extent * n_c
-                far = jax.lax.dynamic_slice_in_dim(
-                    rolled, far_start, far_len, axis=0)
-                if far_g.zcoarse > 1:
-                    far = interp.axis_contract(Rzfar_x, far, 0)
-                parts.append(far)
+                for fi in far_idxs:
+                    far_g = groups[fi]
+                    far = jax.lax.dynamic_slice_in_dim(
+                        rolled, far_g.start_pos * n_c,
+                        far_g.fine_extent * n_c, axis=0)
+                    if far_g.zcoarse > 1:
+                        far = interp.axis_contract(Rzfar_x, far, 0)
+                    parts.append(far)
 
             # rings below: level L-1 ... 0, from the shard below
             for l in range(L - 1, -1, -1):

@@ -143,13 +143,17 @@ def test_far_field_z_coarsening_parity():
     # compression must not cost more than a few extra iterations
     assert it[2] <= it[1] + 3, it
 
-    # composite size shrinks: far group 10 layers -> 5 merged layers
+    # composite size shrinks: 10 far layers -> 2 fine overlap + 3 merged
+    # + 2 fine overlap (superdomain_overlap=1 coarse-layer-width each side)
     g1 = _build_group_specs(2, 1, 2, [3, 1], 16, far_zcoarse=1)
     g2 = _build_group_specs(2, 1, 2, [3, 1], 16, far_zcoarse=2)
     far1 = [g for g in g1 if g.start_pos == 4][0]
-    far2 = [g for g in g2 if g.start_pos == 4][0]
-    assert far1.layers == 10 and far2.layers == 5
-    assert far2.zcoarse == 2 and far2.fine_extent == 10
+    assert far1.layers == 10 and far1.zcoarse == 1
+    mid = [g for g in g2 if g.zcoarse == 2][0]
+    fine_ov = [g for g in g2 if g.zcoarse == 1 and g.order == 1
+               and g.layers == 2]
+    assert mid.layers == 3 and mid.fine_extent == 6
+    assert len(fine_ov) >= 2
 
 
 def test_composite_dd_bf16_ptype():
