@@ -181,3 +181,24 @@ def test_nan_guard_stops_solver():
     res = dom.solver(method="fcg", max_iterations=50, tolerance=1e-8)(f)
     assert not bool(res.converged)
     assert int(res.iterations) <= 2  # stopped immediately, no hang
+
+
+def test_phase_report(capsys):
+    import io
+    import jax.numpy as jnp
+    from functools import partial
+    from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.mesh import generator as mg
+    from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.mesh.partition import partition_mesh
+    from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.solvers.domain import Domain
+    from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.runtime.phases import phase_report
+    from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.runtime.config import Config
+
+    shape = (2, 2, 8)
+    mesh = mg.kershaw_mesh(shape, 2, epsilon=0.3)
+    dom = Domain(partition_mesh(mesh, 1), dtype=jnp.float32)
+    buf = io.StringIO()
+    rep = phase_report(dom, partial(mg.kershaw_mesh, shape, epsilon=0.3),
+                       cfg=Config(poly_reduction=1), iterations=4, out=buf)
+    assert "total per iteration" in rep
+    assert all(np.isfinite(v) for v in rep.values())
+    assert "phase report" in buf.getvalue()
