@@ -91,11 +91,17 @@ def _roll_masks(M: int, n: int, dtype):
 
 def _use_pallas_face_sum(U) -> bool:
     """The fused one-pass Pallas kernel (ops/pallas_kernels.py) needs a
-    TPU backend and tile-aligned minor dims; everything else falls back to
-    the XLA roll form."""
-    if U.ndim != 3 or U.dtype != jnp.float32:
+    TPU backend and tile-aligned minor dims (sublane tile is 8 for f32,
+    16 for bf16); everything else falls back to the XLA roll form."""
+    if U.ndim != 3:
         return False
-    if U.shape[2] % 128 != 0 or U.shape[1] % 8 != 0:
+    if U.dtype == jnp.float32:
+        sublane = 8
+    elif U.dtype == jnp.bfloat16:
+        sublane = 16
+    else:
+        return False
+    if U.shape[2] % 128 != 0 or U.shape[1] % sublane != 0:
         return False
     try:
         platform = jax.devices()[0].platform

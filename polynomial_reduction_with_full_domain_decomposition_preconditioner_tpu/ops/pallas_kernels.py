@@ -41,10 +41,12 @@ def _masks_1d(M: int, n: int, gstart, length, axis_dim, shape, dtype):
 
 def _face_sum_kernel(u_ref, prev_ref, next_ref, out_ref, *, n, mz, cz):
     c = pl.program_id(0)
-    dtype = u_ref.dtype
-    U = u_ref[...]            # (CZ, My, Mx)
-    Pv = prev_ref[...]        # (1, My, Mx): global plane c*CZ - 1 (clamped)
-    Nx = next_ref[...]        # (1, My, Mx): global plane (c+1)*CZ (clamped)
+    # compute in f32: Mosaic's vector rotate is 32-bit only, and the
+    # accumulation is more accurate; HBM traffic stays in the I/O dtype
+    dtype = jnp.float32
+    U = u_ref[...].astype(dtype)     # (CZ, My, Mx)
+    Pv = prev_ref[...].astype(dtype)  # plane c*CZ - 1 (clamped)
+    Nx = next_ref[...].astype(dtype)  # plane (c+1)*CZ (clamped)
     _, my, mx = U.shape
 
     def xy_sum(V):
@@ -64,7 +66,7 @@ def _face_sum_kernel(u_ref, prev_ref, next_ref, out_ref, *, n, mz, cz):
     W_dn = jnp.concatenate([Wp, W[:-1]], axis=0)      # value at z-1
     gz = c * cz
     hiz, loz = _masks_1d(mz, n, gz, cz, 0, W.shape, dtype)
-    out_ref[...] = W + hiz * W_up + loz * W_dn
+    out_ref[...] = (W + hiz * W_up + loz * W_dn).astype(out_ref.dtype)
 
 
 @partial(jax.jit, static_argnames=("n",))
@@ -72,7 +74,8 @@ def lattice_face_sum_3d(U, n: int):
     """One-pass fused face summation on a 3-D lattice (Mz, My, Mx)."""
     mz, my, mx = U.shape
     # z chunk: largest divisor of mz not exceeding the VMEM budget
-    budget = max(1, (2 * 1024 * 1024) // max(my * mx * U.dtype.itemsize, 1))
+    # (compute happens in f32 regardless of the I/O dtype)
+    budget = max(1, (2 * 1024 * 1024) // max(my * mx * 4, 1))
     cz = 1
     for d in range(1, mz + 1):
         if mz % d == 0 and d <= budget:

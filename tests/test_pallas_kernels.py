@@ -38,6 +38,17 @@ def test_face_sum_kernel_matches_rolls(interpret_pallas, shape, n):
     assert float(jnp.abs(want - got).max()) == 0.0
 
 
+def test_face_sum_kernel_bf16(interpret_pallas):
+    # bf16 I/O with f32 in-kernel accumulation (Mosaic rotate is 32-bit
+    # only): agrees with the bf16 roll path to 1 ulp
+    rng = np.random.default_rng(1)
+    U = jnp.asarray(rng.standard_normal((32, 16, 128)), jnp.bfloat16)
+    want = gs.lattice_face_sum(U, 8, axes=(2, 1, 0)).astype(jnp.float32)
+    got = pk.lattice_face_sum_3d(U, 8).astype(jnp.float32)
+    denom = np.maximum(np.abs(np.asarray(want)), 1.0)
+    assert (np.abs(np.asarray(want - got)) / denom).max() < 0.02
+
+
 def test_dispatch_falls_back_off_tpu():
     # CPU backend: the dispatcher must use the roll path (no pallas_call)
     assert not gs._use_pallas_face_sum(jnp.zeros((16, 16, 128)))
