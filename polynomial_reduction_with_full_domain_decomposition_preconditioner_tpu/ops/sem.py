@@ -113,14 +113,18 @@ def elements_from_lattice(U, grid, n: int, dim: int):
 
 def _dmul(D, U, axis: int, n: int):
     """Block-diagonal derivative along one lattice axis: split (m*n) ->
-    (m, n), contract n with D, merge back. One batched MXU contraction."""
+    (m, n), contract n with D in place, merge back. One batched MXU
+    contraction; the contraction axis is named directly in the einsum
+    (moveaxis pairs materialize as full-array layout copies on TPU —
+    ~100us each at 2.1M points, observed in xplane traces)."""
     shape = U.shape
     m = shape[axis] // n
     split = shape[:axis] + (m, n) + shape[axis + 1:]
     V = U.reshape(split)
-    V = jnp.moveaxis(V, axis + 1, -1)
-    V = jnp.einsum("ai,...i->...a", D, V, precision=_PREC)
-    V = jnp.moveaxis(V, -1, axis + 1)
+    letters = "zyxwvuts"[:V.ndim]
+    k = letters[axis + 1]
+    out = letters.replace(k, "a")
+    V = jnp.einsum(f"a{k},{letters}->{out}", D, V, precision=_PREC)
     return V.reshape(shape)
 
 
