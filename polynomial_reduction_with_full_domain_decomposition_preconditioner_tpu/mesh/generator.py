@@ -303,20 +303,40 @@ def _build(elem_shape, poly_degree, transform=None, vertex_transform=None) -> Gl
     )
 
 
-def box_mesh(elem_shape, poly_degree) -> GlobalMesh:
-    """Uniform box mesh of the unit square/cube."""
-    return _build(tuple(elem_shape), poly_degree)
+def box_mesh(elem_shape, poly_degree, extent=None) -> GlobalMesh:
+    """Uniform box mesh of [0,e_0] x [0,e_1] (x [0,e_2]); the unit
+    square/cube when ``extent`` is None. A non-unit extent keeps elements
+    isotropic when the element grid is elongated (the weak-scaling
+    scenario: grow the domain with the shard count)."""
+    elem_shape = tuple(elem_shape)
+    if extent is None:
+        return _build(elem_shape, poly_degree)
+    extent = tuple(extent)
+
+    def transform(axes):
+        return [a * e for a, e in zip(axes, extent)]
+
+    return _build(elem_shape, poly_degree, transform=transform)
 
 
-def kershaw_mesh(elem_shape, poly_degree, epsilon=0.3) -> GlobalMesh:
+def kershaw_mesh(elem_shape, poly_degree, epsilon=0.3,
+                 extent=None) -> GlobalMesh:
     """Kershaw-warped box mesh (reference benchmark meshes, run.py:24-49).
 
     epsilon=1.0 gives the uniform box; smaller epsilon gives higher
-    distortion (the reference sweeps 1.0 and 0.3).
+    distortion (the reference sweeps 1.0 and 0.3). ``extent`` scales the
+    physical domain after the warp (see box_mesh).
     """
     elem_shape = tuple(elem_shape)
+    ext = tuple(extent) if extent is not None else None
 
     def vtransform(x, y, z):
-        return kershaw_transform(epsilon, epsilon, x, y, z)
+        X, Y, Z = kershaw_transform(epsilon, epsilon, x, y, z)
+        if ext is not None:
+            X = X * ext[0]
+            Y = Y * ext[1]
+            if Z is not None:
+                Z = Z * ext[2]
+        return X, Y, Z
 
     return _build(elem_shape, poly_degree, vertex_transform=vtransform)

@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 import scipy.sparse as sp
 
-__all__ = ["assemble_csr", "EllMatrix", "ell_from_csr", "ell_spmv"]
+__all__ = ["assemble_csr", "EllMatrix", "ell_from_csr", "ell_spmv",
+           "ell_spmv_range", "ell_spmv_weight"]
 
 
 def assemble_csr(rows, cols, vals, shape, drop_tol: float = 0.0):
@@ -92,3 +93,18 @@ def ell_spmv(m: EllMatrix, x, num_cols: int | None = None):
     contrib = m.values * xp[m.cols]          # (R, K) dense gathers
     y_sorted = contrib.sum(axis=1)
     return y_sorted[m.inv_perm]
+
+
+def ell_spmv_range(m: EllMatrix, x, row_start: int, row_end: int):
+    """Row-range SpMV: y[i] = (A x)[i] for row_start <= i < row_end, zero
+    elsewhere (csr_matrix.okl:20-33 ``multiply_range``). The range is
+    applied as a mask in original row order — static shapes, no slicing."""
+    y = ell_spmv(m, x)
+    rows = jnp.arange(y.shape[0])
+    return jnp.where((rows >= row_start) & (rows < row_end), y, 0.0)
+
+
+def ell_spmv_weight(m: EllMatrix, x, weight):
+    """Diagonally-weighted SpMV: y = diag(weight) A x
+    (csr_matrix.okl:35-48 ``multiply_weight``)."""
+    return weight * ell_spmv(m, x)

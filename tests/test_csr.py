@@ -45,3 +45,27 @@ def test_ell_empty_rows():
     x = np.arange(4.0)
     y = np.asarray(csr.ell_spmv(ell, jnp.asarray(x)))
     np.testing.assert_allclose(y, m @ x, atol=1e-14)
+
+
+def test_ell_spmv_range_and_weight():
+    import scipy.sparse as sp
+    import jax.numpy as jnp
+    from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.ops.csr import (
+        ell_from_csr, ell_spmv_range, ell_spmv_weight)
+
+    rng = np.random.default_rng(5)
+    A = sp.random(40, 30, density=0.2, random_state=7, format="csr")
+    x = rng.standard_normal(30)
+    m = ell_from_csr(A, dtype=np.float64)
+    xj = jnp.asarray(x)
+
+    # multiply_range (csr_matrix.okl:20-33)
+    y = np.asarray(ell_spmv_range(m, xj, 10, 25))
+    want = A @ x
+    assert np.allclose(y[10:25], want[10:25], atol=1e-12)
+    assert np.abs(y[:10]).max() == 0.0 and np.abs(y[25:]).max() == 0.0
+
+    # multiply_weight (csr_matrix.okl:35-48)
+    w = rng.standard_normal(40)
+    yw = np.asarray(ell_spmv_weight(m, xj, jnp.asarray(w)))
+    assert np.allclose(yw, w * want, atol=1e-12)
