@@ -56,6 +56,8 @@ class Config:
     manufactured_solution: int = 4     # ids 0-4 (domain.tpp:527-580)
     seed: int = 0
     output: str | None = None          # npz/vtk field dump path
+    phase_report: bool = False         # print the differential phase
+    #   table after the solve (runtime/phases.py; poisson.cpp:259-401)
 
     def stype_dtype(self):
         import jax.numpy as jnp
@@ -124,6 +126,7 @@ class Config:
                        default=d.manufactured_solution)
         p.add_argument("--seed", type=int, default=d.seed)
         p.add_argument("--output", default=None)
+        p.add_argument("--phase-report", action="store_true")
         a = p.parse_args(argv)
         return cls(
             mesh=a.mesh, shape=tuple(int(x) for x in a.shape.split(",")),
@@ -137,4 +140,4 @@ class Config:
             inner=a.inner, inner_iterations=a.inner_iterations,
             num_vcycles=a.num_vcycles, cheby_order=a.cheby_order,
             num_shards=a.num_shards, manufactured_solution=a.solution_id,
-            seed=a.seed, output=a.output)
+            seed=a.seed, output=a.output, phase_report=a.phase_report)

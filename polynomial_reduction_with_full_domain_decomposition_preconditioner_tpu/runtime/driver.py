@@ -118,6 +118,11 @@ def run_simulation(cfg: Config, out=sys.stdout) -> dict:
         save_fields(cfg.output, dom, u=res.u, u_star=u_star, f=f)
         print(f"fields written to {cfg.output}", file=out)
 
+    if cfg.phase_report and cfg.preconditioner == "composite":
+        from .phases import phase_report
+        phase_report(dom, mesh_builder, cfg=cfg,
+                     iterations=min(10, max(iters, 2)), out=out)
+
     return {
         "config": cfg.to_json(),
         "converged": bool(res.converged),

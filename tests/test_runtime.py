@@ -202,3 +202,22 @@ def test_phase_report(capsys):
     assert "total per iteration" in rep
     assert all(np.isfinite(v) for v in rep.values())
     assert "phase report" in buf.getvalue()
+
+
+def test_driver_multishard_cli():
+    # the CLI SPMD path: num_shards > 1 builds the device mesh and runs
+    # the full sharded composite solve (8 virtual CPU devices in CI)
+    cfg = Config(mesh="kershaw", shape=(2, 2, 8), epsilon=0.3,
+                 poly_degree=2, poly_reduction=1, num_shards=4,
+                 preconditioner="composite", inner="amg",
+                 max_iterations=100, tolerance=1e-8)
+    rec = run_simulation(cfg, out=open(os.devnull, "w"))
+    assert rec["converged"]
+    assert rec["max_error"] < 1e-5
+
+
+def test_cli_phase_report_flag():
+    cfg = Config.from_args(["2", "1", "--phase-report",
+                            "--shape", "2,2,4", "--mesh", "box"])
+    assert cfg.phase_report
+    assert Config.from_json(cfg.to_json()) == cfg
