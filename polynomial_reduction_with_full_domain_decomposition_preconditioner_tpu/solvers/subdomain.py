@@ -463,8 +463,10 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
         amg_specs = amg_specs_fn
     elif inner == "fem-amg":
         # reference-faithful path: composite low-order FEM matrix (S12)
-        # with an ELL-matrix hierarchy (S13) — the correctness oracle;
-        # slower on TPU than the matrix-free hybrid (gather-bound)
+        # with an ELL-matrix hierarchy (S13) — the correctness oracle.
+        # CAUTION: gather-bound on TPU (~0.1 Gnnz/s) and multi-million-row
+        # ELL gathers have triggered device faults on the axon runtime;
+        # use for validation at small/medium sizes, 'amg' for production
         from ..amg.composite import build_composite_hierarchy
         from ..amg.vcycle import pack_hierarchies
         shard_ids = range(Pn) if domain.spmd else [0]
