@@ -26,9 +26,9 @@ class Config:
     poly_degree: int = 7               # N (run.py:12)
     poly_reduction: int = 6            # reduction (run.py:13)
     subdomain_overlap: int = 1         # (run.py:14)
-    superdomain_overlap: int = 1       # accepted for CLI parity; the
-    #   composite keeps the far field at order 1 (v1 capability note in
-    #   solvers/subdomain.py), so this has no effect yet
+    superdomain_overlap: int = 1       # fine-overlap width (in merged-
+    #   layer units) around the compressed far field; active whenever
+    #   far_coarsen > 1 (solvers/subdomain.py)
 
     # ---- precision (config.hpp:19-20, AMG/config.hpp:4) ----
     stype: str = "float32"             # outer solver dtype (ref double)
@@ -116,11 +116,14 @@ class Config:
         p.add_argument("--preconditioner", default=d.preconditioner,
                        choices=["composite", "pmultigrid", "jacobi", "none"])
         p.add_argument("--inner", default=d.inner,
-                       choices=["amg", "jacobi", "none"])
+                       choices=["amg", "fem-amg", "jacobi", "none"])
         p.add_argument("--inner-iterations", type=int,
                        default=d.inner_iterations)
         p.add_argument("--num-vcycles", type=int, default=d.num_vcycles)
         p.add_argument("--cheby-order", type=int, default=d.cheby_order)
+        p.add_argument("--max-coarse", type=int, default=d.max_coarse)
+        p.add_argument("--far-coarsen", default="auto",
+                       help="far-field z-merge factor (int) or 'auto'")
         p.add_argument("--num-shards", type=int, default=d.num_shards)
         p.add_argument("--solution-id", type=int,
                        default=d.manufactured_solution)
@@ -139,5 +142,8 @@ class Config:
             tolerance=a.tolerance, preconditioner=a.preconditioner,
             inner=a.inner, inner_iterations=a.inner_iterations,
             num_vcycles=a.num_vcycles, cheby_order=a.cheby_order,
+            max_coarse=a.max_coarse,
+            far_coarsen=(a.far_coarsen if a.far_coarsen == "auto"
+                         else int(a.far_coarsen)),
             num_shards=a.num_shards, manufactured_solution=a.solution_id,
             seed=a.seed, output=a.output, phase_report=a.phase_report)

@@ -33,10 +33,10 @@ def _build_domain(cfg: Config, device_mesh=None):
     mesh = builder(cfg.poly_degree)
     sd = partition_mesh(mesh, cfg.num_shards)
     dom = Domain(sd, dtype=cfg.stype_dtype(), device_mesh=device_mesh)
-    return dom, builder
+    return dom, builder, mesh
 
 
-def _build_preconditioner(cfg: Config, dom, mesh_builder):
+def _build_preconditioner(cfg: Config, dom, mesh_builder, fine_mesh=None):
     from ..solvers import preconditioners as pc
     from ..solvers import subdomain as sub
 
@@ -48,7 +48,7 @@ def _build_preconditioner(cfg: Config, dom, mesh_builder):
             num_iterations=cfg.inner_iterations, inner=cfg.inner,
             num_vcycles=cfg.num_vcycles, cheby_order=cfg.cheby_order,
             ptype=cfg.ptype_dtype(), max_coarse=cfg.max_coarse,
-            far_coarsen=cfg.far_coarsen)
+            far_coarsen=cfg.far_coarsen, fine_mesh=fine_mesh)
     if cfg.preconditioner == "pmultigrid":
         return pc.pmultigrid(dom, mesh_builder,
                              poly_reduction=cfg.poly_reduction)
@@ -69,9 +69,9 @@ def run_simulation(cfg: Config, out=sys.stdout) -> dict:
         device_mesh = jax.make_mesh((cfg.num_shards,), ("shard",))
 
     with timer("setup.domain"):
-        dom, mesh_builder = _build_domain(cfg, device_mesh)
+        dom, mesh_builder, fine_mesh = _build_domain(cfg, device_mesh)
     with timer("setup.preconditioner"):
-        pre = _build_preconditioner(cfg, dom, mesh_builder)
+        pre = _build_preconditioner(cfg, dom, mesh_builder, fine_mesh)
 
     # run-info block (poisson.cpp:237-250)
     sd = dom.sharded

@@ -245,7 +245,6 @@ def fgmres(operator, precond, dssum_plain, dot, f, *,
         u = u + jnp.einsum("i,iN->N", y, Z,
                            precision=jax.lax.Precision.HIGHEST)
 
-        done_now = jnp.logical_or(jdone, it >= max_iterations)
         # 'jdone' covers tolerance/NaN/basis-full; only tolerance/NaN end
         # the outer loop (basis-full just restarts)
         hit_tol = jnp.logical_or(last_rnorm < target, jnp.isnan(last_rnorm))

@@ -38,9 +38,7 @@ the assembled low-order FEM hierarchy (inner="fem-amg", S12/S13), Jacobi,
 or plain QQt (the reference's use_preconditioner=false bring-up mode).
 
 Remaining v1 constraint: meshes must be structured with mz divisible by
-the shard count; ``superdomain_overlap`` is accepted for CLI parity but
-inert (the reference uses it to grow AMG-level overlap inside the
-compressed superdomain, subdomain.tpp:1860-1992).
+the shard count.
 """
 
 from __future__ import annotations
@@ -202,7 +200,8 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
                  cheby_order: int = 2,
                  ptype=None,
                  max_coarse: int = 600,
-                 far_coarsen="auto") -> Preconditioner:
+                 far_coarsen="auto",
+                 fine_mesh=None) -> Preconditioner:
     """Build the composite DD+polynomial-reduction preconditioner.
 
     domain: the fine-level Domain (structured, slab-partitioned).
@@ -230,7 +229,10 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
       superdomain compression role (S10, subdomain.tpp:1632-2579): the
       far field is carried on a z-coarsened order-1 mesh, shrinking the
       per-shard composite from O(E_total) toward O(E_total / F). "auto"
-      picks the largest aligned factor in {8,4,2,1}; pass 1 to disable.
+      picks the largest aligned factor in {8,4,2,1} (always 1 for the
+      fem-amg oracle); pass 1 to disable.
+    fine_mesh: the order-N GlobalMesh if already built (avoids
+      regenerating it; must equal mesh_builder(N)).
     """
     sd = domain.sharded
     if sd.structured is None:
@@ -261,7 +263,10 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
             "rings come from nearest neighbors only")
 
     if far_coarsen == "auto":
-        Fz = _auto_far_zcoarse(S, V, L, m_last, superdomain_overlap)
+        # the assembled fem-amg oracle assumes fine layers: auto must
+        # never pick a factor the chosen inner cannot use
+        Fz = (1 if inner == "fem-amg"
+              else _auto_far_zcoarse(S, V, L, m_last, superdomain_overlap))
     else:
         Fz = int(far_coarsen)
     if Fz > 1 and inner == "fem-amg":
@@ -272,13 +277,19 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
     G = len(groups)
 
     # host meshes at every order (geometry source; replaces the reference's
-    # gs-tree population of region copies, subdomain.tpp:644-805)
+    # gs-tree population of region copies, subdomain.tpp:644-805).
+    # fine_mesh lets the caller pass the order-N mesh it already built for
+    # the Domain instead of regenerating it (the dominant host setup cost
+    # at scale: float64 Jacobian inversion over every global element)
     order_set = sorted(set(g.order for g in groups) | set(orders))
-    mesh_by_order = {o: mesh_builder(o) for o in order_set}
+    mesh_by_order = {
+        o: (fine_mesh if o == N and fine_mesh is not None
+            else mesh_builder(o))
+        for o in order_set}
     mesh_far = (_z_coarsen_order1_mesh(mesh_by_order[1], Fz, plane_shape,
                                        dim) if Fz > 1 else None)
 
-    def layer_slice(mesh_o, phys_layers, field, trailing=()):
+    def layer_slice(mesh_o, phys_layers, field):
         """Extract per-layer element data and convert to lattice layout.
 
         phys_layers: array of physical layer indices (in stack order).
@@ -541,7 +552,7 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
             J = Jx[(oc, of)]
             return interp.lattice_tensor_apply(plane_c, J, dim - 1)
 
-        def comp_dssum(vec, apply_mask=True, apply_weight=False):
+        def comp_dssum(vec, apply_mask=True):
             parts = split(vec)
             # 1. collapse fine interface faces onto coarse planes (adjoint
             #    of the hanging-node constraints, subdomain.tpp:1496-1582)
@@ -600,8 +611,6 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
             out_parts = []
             for gi in range(G):
                 U = final[gi].reshape(-1)
-                if apply_weight:
-                    U = U * groups_x[gi]["weight"].reshape(-1)
                 if apply_mask:
                     U = U * groups_x[gi]["mask"].reshape(-1)
                 out_parts.append(U)
@@ -769,12 +778,7 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
                 return amg_apply(rr) * comp_mask
         elif inner == "jacobi":
             # continuous inverse assembled diagonal of the composite
-            comp_diag = join([
-                sem.stiffness_diagonal_lattice(gd["geom"], gd["D"], dim)
-                for gd in groups_x])
-            comp_diag_c = comp_dssum(comp_diag, apply_mask=False)
-            comp_inv_diag = jnp.where(comp_diag_c > 0,
-                                      1.0 / comp_diag_c, 0.0)
+            comp_inv_diag = comp_inv_diag_of(ops_c)
 
             def inner_precond(rr):
                 return comp_dssum(rr, apply_mask=True) * comp_inv_diag
