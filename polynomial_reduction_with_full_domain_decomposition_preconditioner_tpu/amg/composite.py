@@ -67,20 +67,12 @@ def _grid_map_1d(m: int, o: int) -> np.ndarray:
 def _layer_lattice(mesh, q: int, plane_shape, dim: int, field) -> np.ndarray:
     """One physical element layer of an order-o mesh as a point lattice
     (n, my*n, mx*n[, F]); same layout as solvers/subdomain.layer_slice."""
-    o = mesh.poly_degree
-    n = o + 1
+    from ..mesh.layout import elements_to_lattice
+    n = mesh.poly_degree + 1
     plane = int(np.prod(plane_shape))
     a = np.asarray(field)
-    F = a.shape[2:]
-    sel = a[q * plane:(q + 1) * plane]
-    if dim == 3:
-        Ub = sel.reshape(tuple(plane_shape) + (n, n, n) + F)
-        perm = [2, 0, 3, 1, 4] + [5 + k for k in range(len(F))]
-        return Ub.transpose(perm).reshape(
-            (n, plane_shape[0] * n, plane_shape[1] * n) + F)
-    Ub = sel.reshape(tuple(plane_shape) + (n, n) + F)
-    perm = [1, 0, 2] + [3 + k for k in range(len(F))]
-    return Ub.transpose(perm).reshape((n, plane_shape[0] * n) + F)
+    return elements_to_lattice(a[q * plane:(q + 1) * plane],
+                               (1,) + tuple(plane_shape), n, dim)
 
 
 def _block_grid_coords(mesh, q: int, plane_shape, dim: int) -> np.ndarray:

@@ -155,36 +155,15 @@ class Domain:
 
     def _host_elem_to_lattice(self, arr):
         """Element-ordered (E, npe[, F]) or flat -> lattice (M..., [F])."""
-        grid = self.local_grid
-        n = self.poly_degree + 1
-        dim = self.dim
-        E = int(np.prod(grid))
-        a = np.asarray(arr)
-        if a.ndim == 1:
-            a = a.reshape(E, n ** dim)
-        else:
-            a = a.reshape((E, n ** dim) + a.shape[2:])
-        F = a.shape[2:]
-        U = a.reshape(tuple(grid) + (n,) * dim + F)
-        perm = []
-        for d in range(dim):
-            perm += [d, dim + d]
-        perm += [2 * dim + k for k in range(len(F))]
-        lat = tuple(g * n for g in grid)
-        return U.transpose(perm).reshape(lat + F)
+        from ..mesh.layout import elements_to_lattice
+        return elements_to_lattice(arr, self.local_grid,
+                                   self.poly_degree + 1, self.dim)
 
     def _host_lattice_to_elem(self, U):
         """Lattice (M..., [F]) -> element-ordered flat (E*npe, [F])."""
-        grid = self.local_grid
-        n = self.poly_degree + 1
-        dim = self.dim
-        U = np.asarray(U)
-        F = U.shape[dim:]
-        V = U.reshape(sum(((g, n) for g in grid), ()) + F)
-        perm = ([2 * d for d in range(dim)] + [2 * d + 1 for d in range(dim)]
-                + [2 * dim + k for k in range(len(F))])
-        E = int(np.prod(grid))
-        return V.transpose(perm).reshape((E * n ** dim,) + F)
+        from ..mesh.layout import lattice_to_elements
+        return lattice_to_elements(U, self.local_grid,
+                                   self.poly_degree + 1, self.dim)
 
     # ---- closure builders (shard-local SPMD code) ----
 

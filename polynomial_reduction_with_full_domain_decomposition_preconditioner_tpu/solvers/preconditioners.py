@@ -86,25 +86,13 @@ def _level_arrays(domain, orders, mesh_builder):
         sd = partition_mesh(mesh_c, sd_f.num_shards, structured=True)
         n_c = N_c + 1
 
-        def to_lat(arr_p, trailing=0):
-            E = int(np.prod(grid))
-            a = np.asarray(arr_p)
-            if trailing:
-                a = a.reshape((E, n_c ** dim) + a.shape[2:])
-            else:
-                a = a.reshape(E, n_c ** dim)
-            F = a.shape[2:]
-            U = a.reshape(tuple(grid) + (n_c,) * dim + F)
-            perm = []
-            for d in range(dim):
-                perm += [d, dim + d]
-            perm += [2 * dim + k for k in range(len(F))]
-            lat = tuple(g * n_c for g in grid)
-            return U.transpose(perm).reshape(lat + F)
+        from ..mesh.layout import elements_to_lattice
+
+        def to_lat(arr_p):
+            return elements_to_lattice(arr_p, grid, n_c, dim)
 
         P_shards = sd.num_shards
-        geom = np.stack([to_lat(sd.geom[p], trailing=1)
-                         for p in range(P_shards)])
+        geom = np.stack([to_lat(sd.geom[p]) for p in range(P_shards)])
         mask = np.stack([to_lat(sd.dirichlet_mask[p]).reshape(-1)
                          for p in range(P_shards)])
         invd = np.stack([to_lat(sd.inv_degree_pts[p]).reshape(-1)

@@ -295,26 +295,13 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
         phys_layers: array of physical layer indices (in stack order).
         field: (E_total, npe[, F]) element data of the order-o mesh.
         Returns lattice array (len(layers)*n_o, MY_o, MX_o [, F])."""
-        o = mesh_o.poly_degree
-        n_o = o + 1
+        from ..mesh.layout import elements_to_lattice
+        n_o = mesh_o.poly_degree + 1
         plane = int(np.prod(plane_shape))
         a = np.asarray(field)
-        F = a.shape[2:]
-        rows = []
-        for lz in phys_layers:
-            sel = a[lz * plane:(lz + 1) * plane]  # (plane, npe[, F])
-            # layer lattice: (n_z, my*n, mx*n [, F])
-            if dim == 3:
-                Ub = sel.reshape(plane_shape + (n_o, n_o, n_o) + F)
-                perm = [2, 0, 3, 1, 4] + [5 + k for k in range(len(F))]
-                lat = Ub.transpose(perm).reshape(
-                    (n_o, plane_shape[0] * n_o, plane_shape[1] * n_o) + F)
-            else:
-                Ub = sel.reshape(plane_shape + (n_o, n_o) + F)
-                perm = [1, 0, 2] + [3 + k for k in range(len(F))]
-                lat = Ub.transpose(perm).reshape(
-                    (n_o, plane_shape[0] * n_o) + F)
-            rows.append(lat)
+        rows = [elements_to_lattice(a[lz * plane:(lz + 1) * plane],
+                                    (1,) + plane_shape, n_o, dim)
+                for lz in phys_layers]
         return np.concatenate(rows, axis=0)
 
     # per-shard, per-group device data
