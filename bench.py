@@ -86,7 +86,7 @@ def main():
     # outer iteration vs a float32 preconditioner.
     pre = sub.composite_dd(dom, partial(mg.kershaw_mesh, shape, epsilon=0.3),
                            poly_reduction=6, inner="amg",
-                           ptype=jnp.bfloat16)
+                           ptype=jnp.bfloat16, fine_mesh=mesh)
     print(f"preconditioner setup: {time.time()-t0:.1f}s", file=sys.stderr)
     u_star = dom.initial_function(4, seed=0)
     f = dom.manufacture_rhs(u_star)
