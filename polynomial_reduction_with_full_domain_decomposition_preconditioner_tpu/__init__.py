@@ -14,8 +14,10 @@ Layer map (mirrors SURVEY.md section 1):
             CSR/ELL SpMV, interpolation cascades          (ref L1, L2)
   solvers/  Domain (fine level) + Krylov + preconditioners (ref L3, L4)
   amg/      algebraic multigrid setup + V-cycle           (ref AMG/, hypre)
-  parallel/ device-mesh helpers                           (ref MPI layer)
   io/       field output                                  (ref Silo output)
+
+SPMD plumbing (the reference's MPI layer) lives with its consumers:
+collectives in ops/gather_scatter.py, partition plans in mesh/partition.py.
 """
 
 __version__ = "0.1.0"

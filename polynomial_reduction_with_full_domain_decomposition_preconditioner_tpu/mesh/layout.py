@@ -1,8 +1,8 @@
 """Host-side element <-> point-lattice layout conversion.
 
-THE single definition of the lattice layout used across host setup
-(device-side jnp twins live in ops/sem.lattice_from_elements /
-elements_from_lattice): element-ordered data (E, n^dim [, F]) with local
+THE single definition of the lattice layout (host and device setup alike —
+the hot paths never convert; they live natively in lattice layout):
+element-ordered data (E, n^dim [, F]) with local
 ordering v = i + j*n (+ k*n^2) maps to the lattice (g_0*n, ..., g_{d-1}*n
 [, F]) with index X_d = e_d * n + i_d, where ``grid`` is the element grid
 in storage order (slowest..fastest, e.g. (mz, my, mx)).

@@ -97,8 +97,13 @@ def ell_spmv(m: EllMatrix, x, num_cols: int | None = None):
 
 def ell_spmv_range(m: EllMatrix, x, row_start: int, row_end: int):
     """Row-range SpMV: y[i] = (A x)[i] for row_start <= i < row_end, zero
-    elsewhere (csr_matrix.okl:20-33 ``multiply_range``). The range is
-    applied as a mask in original row order — static shapes, no slicing."""
+    elsewhere (the csr_matrix.okl:20-33 ``multiply_range`` role). The range
+    is applied as a mask in original row order — static shapes, no slicing.
+
+    NOTE: the bound convention deliberately differs from the reference —
+    there ``row_end`` is inclusive (csr_matrix.okl:21: ``i <= row_end``);
+    here the range is half-open [row_start, row_end) to match Python/numpy
+    slicing. Callers porting reference call sites must pass end+1."""
     y = ell_spmv(m, x)
     rows = jnp.arange(y.shape[0])
     return jnp.where((rows >= row_start) & (rows < row_end), y, 0.0)

@@ -40,7 +40,7 @@ def tensor_apply(u, M, dim: int):
 
 def lattice_tensor_apply(U, M, dim: int):
     """Apply the 1-D operator M (n_out, n_in) per element along every axis
-    of a point-lattice array (ops/sem.lattice_from_elements layout).
+    of a point-lattice array (mesh/layout.elements_to_lattice layout).
 
     U: lattice shape (m_d * n_in, ...); returns (m_d * n_out, ...). Used
     for order transfer between lattices of different polynomial order on

@@ -23,8 +23,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["stiffness_apply", "stiffness_diagonal",
-           "stiffness_apply_lattice", "lattice_from_elements",
-           "elements_from_lattice"]
+           "stiffness_apply_lattice", "stiffness_diagonal_lattice"]
 
 # f32 inputs stay f32 on the MXU (3-pass); bf16 fast path is a config knob
 # handled by callers via dtype of the operands.
@@ -84,31 +83,6 @@ def stiffness_apply(u, geom, D, dim: int):
         return Au.reshape(E, n ** 3)
 
     raise ValueError(f"dim must be 2 or 3, got {dim}")
-
-
-def lattice_from_elements(u, grid, n: int, dim: int):
-    """Element-ordered (E, n^dim) or (E*n^dim,) -> point-lattice array.
-
-    grid = local element grid in storage order (slowest..fastest, e.g.
-    (mz, my, mx)); returns shape (mz*n, my*n, mx*n) with index
-    X_d = e_d * n + i_d. The lattice is the TPU-native field layout for
-    structured domains: large contiguous minor dimensions (good tiling),
-    face sums as lane rolls, slab boundaries as contiguous planes.
-    """
-    grid = tuple(grid)
-    U = u.reshape(grid + (n,) * dim)
-    perm = []
-    for d in range(dim):
-        perm += [d, dim + d]
-    return U.transpose(perm).reshape(tuple(g * n for g in grid))
-
-
-def elements_from_lattice(U, grid, n: int, dim: int):
-    """Inverse of lattice_from_elements; returns flat (E*n^dim,)."""
-    grid = tuple(grid)
-    V = U.reshape(sum(((g, n) for g in grid), ()))
-    perm = [2 * d for d in range(dim)] + [2 * d + 1 for d in range(dim)]
-    return V.transpose(perm).reshape(-1)
 
 
 def _dmul(D, U, axis: int, n: int):

@@ -97,9 +97,17 @@ def run_simulation(cfg: Config, out=sys.stdout) -> dict:
     with timer("solve.compile"):
         res = solve(f)
         jax.block_until_ready(res.u)
-    with timer("solve.run"):
+    # best-of-3 for the timed run: single-shot short solves are dominated
+    # by dispatch/sync noise (the epsilon-1.0 sweep artifact recorded a
+    # physically implausible 0.3 ms this way)
+    import time as _time
+    best = float("inf")
+    for _ in range(3):
+        t0 = _time.perf_counter()
         res = solve(f)
         jax.block_until_ready(res.u)
+        best = min(best, _time.perf_counter() - t0)
+    timer.record("solve.run", best)
 
     hist = np.asarray(res.residual_history)
     iters = int(res.iterations)

@@ -52,9 +52,11 @@ def phase_report(dom, mesh_builder, cfg=None, iterations: int = 10,
         return sub.composite_dd(
             dom, mesh_builder, poly_reduction=cfg.poly_reduction,
             subdomain_overlap=cfg.subdomain_overlap,
+            superdomain_overlap=cfg.superdomain_overlap,
             num_iterations=cfg.inner_iterations, inner=inner,
             num_vcycles=cfg.num_vcycles, cheby_order=cfg.cheby_order,
-            ptype=cfg.ptype_dtype(), far_coarsen=cfg.far_coarsen)
+            ptype=cfg.ptype_dtype(), max_coarse=cfg.max_coarse,
+            far_coarsen=cfg.far_coarsen)
 
     t_fcg, _ = _timed_solve(dom, f, method="fcg", **kw)
     t_skel, _ = _timed_solve(dom, f, method=cfg.solver, **kw)

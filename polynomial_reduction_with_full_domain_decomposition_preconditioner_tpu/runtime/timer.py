@@ -67,8 +67,20 @@ class Timer:
     def stop(self, name: str):
         if self.sync:
             _device_sync()
-        dt = time.perf_counter() - self._starts.pop(name) - self._sync_cost
+        dt = time.perf_counter() - self._starts.pop(name)
+        # subtract the calibrated sync overhead (timer.tpp:23-45) only when
+        # it is a small correction: for sub-10x-sync intervals the
+        # subtraction swamps the measurement (observed: a ~1.3 ms solve
+        # reported as 0.3 ms) — keep the raw reading there
+        if dt >= 10.0 * self._sync_cost:
+            dt -= self._sync_cost
         self._totals[name] = self._totals.get(name, 0.0) + max(dt, 0.0)
+        self._counts[name] = self._counts.get(name, 0) + 1
+
+    def record(self, name: str, seconds: float):
+        """Inject an externally measured interval (e.g. best-of-N repeats
+        of a short region, where a single start/stop is noise-bound)."""
+        self._totals[name] = self._totals.get(name, 0.0) + max(seconds, 0.0)
         self._counts[name] = self._counts.get(name, 0) + 1
 
     @contextmanager

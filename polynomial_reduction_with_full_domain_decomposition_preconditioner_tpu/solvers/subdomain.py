@@ -102,7 +102,14 @@ def _build_group_specs(S, V, L, orders, total_layers, far_zcoarse: int = 1,
     if far > 0:
         F = far_zcoarse
         ov = sup_overlap * F if F > 1 else 0
-        assert (far - 2 * ov) % F == 0 and far - 2 * ov >= F or F == 1
+        if F > 1 and ((far - 2 * ov) % F != 0 or far - 2 * ov < F):
+            # explicit far_coarsen must satisfy the same alignment
+            # conditions _auto_far_zcoarse checks (a bad factor would
+            # silently mis-wrap the far-field layout under python -O)
+            raise ValueError(
+                f"far_coarsen={F} misaligned: the far field "
+                f"({far} layers minus 2x{ov} fine overlap) must be a "
+                f"positive multiple of {F}")
         if ov > 0:
             groups.append(_GroupSpec(orders[-1], ov, pos))
             pos += ov
@@ -269,6 +276,13 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
               else _auto_far_zcoarse(S, V, L, m_last, superdomain_overlap))
     else:
         Fz = int(far_coarsen)
+        if Fz > 1 and (S % Fz or (V * L) % Fz or m_last % Fz):
+            # mirror _auto_far_zcoarse's shard-alignment conditions for an
+            # explicit factor (every shard's far region must start and end
+            # on a merged-layer boundary)
+            raise ValueError(
+                f"far_coarsen={Fz} must divide the slab ({S}), the ring "
+                f"extent ({V * L}) and the layer count ({m_last})")
     if Fz > 1 and inner == "fem-amg":
         raise ValueError("far_coarsen > 1 requires inner='amg' "
                          "(the assembled fem-amg path assumes fine layers)")

@@ -134,4 +134,5 @@ def test_iteration_count_stable_weak_scaling():
                          tolerance=1e-8, precond=pre)(f)
         assert bool(res.converged), P
         counts[P] = int(res.iterations)
-    assert max(counts.values()) <= min(counts.values()) + 6, counts
+    # measured 5/6/6 at P=2/4/8: allow one extra iteration of headroom
+    assert max(counts.values()) <= min(counts.values()) + 2, counts
