@@ -23,7 +23,8 @@ import numpy as np
 
 from ..utils.gll import gll_points_weights, diff_matrix
 
-__all__ = ["GlobalMesh", "box_mesh", "kershaw_mesh", "geometric_factors"]
+__all__ = ["GlobalMesh", "box_mesh", "kershaw_mesh", "geometric_factors",
+           "scramble_mesh"]
 
 
 @dataclass
@@ -47,6 +48,7 @@ class GlobalMesh:
     dirichlet_mask: np.ndarray        # (E, npe) float, 0.0 on Dirichlet boundary
     geom: np.ndarray                  # (E, npe, num_geom) geometric factors
     mass: np.ndarray                  # (E, npe) diagonal GLL mass w * |J|
+    structured_layout: bool = True    # elements stored in slab (lattice) order
 
     @property
     def num_elements(self) -> int:
@@ -340,3 +342,101 @@ def kershaw_mesh(elem_shape, poly_degree, epsilon=0.3,
         return X, Y, Z
 
     return _build(elem_shape, poly_degree, vertex_transform=vtransform)
+
+
+# ---------------------------------------------------------------------------
+# unstructured-connectivity scrambling
+
+
+def _proper_rotations(dim: int):
+    """All orientation-preserving symmetries of the square (4) / cube (24)
+    as (axis_perm, flip) pairs acting on local (z, y, x) index tuples."""
+    import itertools
+    rots = []
+    for perm in itertools.permutations(range(dim)):
+        for flips in itertools.product((False, True), repeat=dim):
+            # determinant of the signed permutation must be +1
+            sign = 1
+            # permutation parity
+            seen = [False] * dim
+            for i in range(dim):
+                if seen[i]:
+                    continue
+                j, clen = i, 0
+                while not seen[j]:
+                    seen[j] = True
+                    j = perm[j]
+                    clen += 1
+                if clen % 2 == 0:
+                    sign = -sign
+            for f in flips:
+                if f:
+                    sign = -sign
+            if sign == 1:
+                rots.append((perm, flips))
+    return rots
+
+
+def _rotation_node_perm(perm, flips, n: int, dim: int) -> np.ndarray:
+    """Node permutation P with new_data[P] = old_data, i.e.
+    new_data[v'] = old_data[v] where v' is v's rotated position."""
+    idx = np.indices((n,) * dim).reshape(dim, -1)      # old (z, y, x)
+    new_idx = np.empty_like(idx)
+    for d in range(dim):
+        src = idx[perm[d]]
+        new_idx[d] = (n - 1 - src) if flips[d] else src
+    # flatten new position (x fastest = last axis)
+    vnew = np.zeros(idx.shape[1], dtype=np.int64)
+    for d in range(dim):
+        vnew = vnew * n + new_idx[d]
+    out = np.empty(n ** dim, dtype=np.int64)
+    out[vnew] = np.arange(n ** dim)
+    return out
+
+
+def scramble_mesh(mesh: GlobalMesh, seed: int = 0) -> GlobalMesh:
+    """Destroy the structured element layout: random element permutation +
+    a random proper rotation of every element's local frame.
+
+    The result is a genuinely unstructured-connectivity hex mesh (like the
+    reference's Nek5000 pebble-bed exports, run.py:51-79, where neighbor
+    elements meet with arbitrary relative orientations and the element
+    order carries no geometric meaning) while keeping the exact geometry —
+    so solutions are comparable against the structured original.
+
+    The scramble decisions depend only on (num_elements, seed), NOT the
+    polynomial order: calling scramble_mesh(mesh_builder(o), seed) for
+    different o yields element-wise consistent meshes, as the composite
+    setup requires of its mesh_builder.
+    """
+    dim = mesh.dim
+    n = mesh.poly_degree + 1
+    E = mesh.num_elements
+    rng = np.random.default_rng(seed)
+    elem_perm = rng.permutation(E)
+    rots = _proper_rotations(dim)
+    rot_choice = rng.integers(0, len(rots), size=E)
+
+    node_perms = [_rotation_node_perm(p, f, n, dim) for p, f in rots]
+
+    def take(arr):
+        out = np.empty_like(arr[elem_perm])
+        for e in range(E):
+            src = arr[elem_perm[e]]
+            out[e] = src[node_perms[rot_choice[elem_perm[e]]]]
+        return out
+
+    coords = take(mesh.coords)
+    geom, mass = geometric_factors(coords, dim, mesh.poly_degree)
+    return GlobalMesh(
+        dim=dim,
+        poly_degree=mesh.poly_degree,
+        elem_shape=mesh.elem_shape,
+        coords=coords,
+        glo_num=take(mesh.glo_num),
+        node_degree=take(mesh.node_degree),
+        dirichlet_mask=take(mesh.dirichlet_mask),
+        geom=geom,
+        mass=mass,
+        structured_layout=False,
+    )

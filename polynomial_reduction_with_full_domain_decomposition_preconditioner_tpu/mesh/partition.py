@@ -36,11 +36,31 @@ class StructuredInfo:
     structured_dssum) instead of generic gather/scatter.
 
     The element grid is (..., m1, m0) with m0 = x fastest; shards split the
-    *last* dimension into equal slabs (ghost slabs padded at the end).
+    *last* dimension into balanced slabs of ``layer_counts[p]`` layers each
+    (q or q+1 layers, q = m_last // P — the reference supports any element
+    partition, domain.tpp:45). Every shard's lattice is padded to
+    ``slab_elems`` = max(layer_counts) layers; pad layers carry zero
+    geometry/mask and every device field is zero there.
     """
     elem_shape: tuple[int, ...]   # global (mx, my[, mz])
-    slab_elems: int               # elements along the sharded dim per shard
+    slab_elems: int               # max layers per shard (padded slab size)
     poly_degree: int
+    layer_counts: tuple[int, ...] = ()   # real layers per shard
+
+    @property
+    def ragged(self) -> bool:
+        """True when shards have unequal real layer counts (the shard
+        count does not divide the last element dimension)."""
+        return len(set(self.layer_counts)) > 1
+
+    @property
+    def layer_starts(self) -> tuple[int, ...]:
+        """First physical layer of each shard."""
+        out, acc = [], 0
+        for c in self.layer_counts:
+            out.append(acc)
+            acc += c
+        return tuple(out)
 
     def local_grid(self):
         """Local element-grid shape in storage order (slowest..fastest)."""
@@ -108,18 +128,27 @@ def partition_mesh(mesh: GlobalMesh, num_shards: int,
     npe = mesh.num_points_per_elem
     P = num_shards
 
-    use_structured = (structured is True or structured == "auto")
+    use_structured = (structured is True or structured == "auto") \
+        and getattr(mesh, "structured_layout", True)
+    if structured is True and not getattr(mesh, "structured_layout", True):
+        raise ValueError("mesh elements are not in structured slab order")
     sinfo = None
     if use_structured:
         m_last = mesh.elem_shape[-1]
         plane = int(np.prod(mesh.elem_shape[:-1]))  # elements per slab layer
-        slab_layers = -(-m_last // P)
+        # balanced layer partition: q or q+1 layers per shard (arbitrary
+        # shard counts, like the reference's per-rank element files,
+        # domain.tpp:45); all shards padded to the max slab
+        q, r = divmod(m_last, P)
+        counts = tuple(q + (1 if p < r else 0) for p in range(P))
+        slab_layers = max(counts)
         E = slab_layers * plane                      # padded elements/shard
-        starts = np.arange(P + 1) * E
-        bounds = np.minimum(starts, E_tot).astype(np.int64)
+        bounds = np.concatenate(
+            [[0], np.cumsum(counts)]).astype(np.int64) * plane
         sinfo = StructuredInfo(elem_shape=mesh.elem_shape,
                                slab_elems=slab_layers,
-                               poly_degree=mesh.poly_degree)
+                               poly_degree=mesh.poly_degree,
+                               layer_counts=counts)
     else:
         E = -(-E_tot // P)  # padded elements per shard
         # contiguous element chunks (the reference's per-rank files are

@@ -135,10 +135,17 @@ def lattice_face_sum(U, n: int, axes=None):
     return U
 
 
-def slab_exchange_add(U, axis_name):
+def slab_exchange_add(U, axis_name, top_plane=None):
     """Add the neighboring shards' boundary planes of the slab (leading
     lattice) direction: one dense ppermute each way — the reference's
-    host-side gslib exchange (domain.tpp:590-594) entirely in HBM."""
+    host-side gslib exchange (domain.tpp:590-594) entirely in HBM.
+
+    top_plane: shard-varying lattice index of the REAL top plane, for
+    ragged slab partitions where trailing layers are padding (None = the
+    static last plane; keeps the uniform path free of dynamic slices).
+    Empty shards (top_plane < 0, possible when P > m_last) clamp to plane
+    0; they only hold zero-masked padding, so the spurious add is inert.
+    """
     if axis_name is None:
         return U
     nshards = jax.lax.axis_size(axis_name)
@@ -146,26 +153,40 @@ def slab_exchange_add(U, axis_name):
         return U
     up = [(i, i + 1) for i in range(nshards - 1)]
     down = [(i + 1, i) for i in range(nshards - 1)]
-    from_below = jax.lax.ppermute(U[-1], axis_name, up)
+    if top_plane is None:
+        from_below = jax.lax.ppermute(U[-1], axis_name, up)
+        from_above = jax.lax.ppermute(U[0], axis_name, down)
+        U = U.at[0].add(from_below)
+        U = U.at[-1].add(from_above)
+        return U
+    top = jax.lax.dynamic_index_in_dim(U, top_plane, 0, keepdims=False)
+    from_below = jax.lax.ppermute(top, axis_name, up)
     from_above = jax.lax.ppermute(U[0], axis_name, down)
     U = U.at[0].add(from_below)
-    U = U.at[-1].add(from_above)
-    return U
+    cur = jax.lax.dynamic_index_in_dim(U, top_plane, 0, keepdims=False)
+    return jax.lax.dynamic_update_index_in_dim(U, cur + from_above,
+                                               top_plane, 0)
 
 
 def structured_dssum(u_lat, *, lattice_shape, n: int, dim: int, mask,
                      inv_degree_pts, axis_name,
-                     apply_mask: bool = True, apply_weight: bool = False):
+                     apply_mask: bool = True, apply_weight: bool = False,
+                     top_plane=None):
     """Direct stiffness summation on a structured box lattice.
 
     Fields live natively in the point-lattice layout (flat, index
     X = (Z*My + Y)*Mx + X with X_d = e_d*n + i_d): large contiguous minor
     dims tile well on TPU, face sums are lane rolls, and the slab boundary
     is a contiguous plane. mask / inv_degree_pts are lattice-ordered.
+
+    top_plane: per-shard real top-plane index for ragged slab partitions
+    (see slab_exchange_add). Requires the padding invariant: every input
+    field is zero at pad points (mask/weight are zero there, so outputs
+    preserve it).
     """
     U = u_lat.reshape(lattice_shape)
     U = lattice_face_sum(U, n)
-    U = slab_exchange_add(U, axis_name)
+    U = slab_exchange_add(U, axis_name, top_plane=top_plane)
     out = U.reshape(u_lat.shape)
     if apply_weight:
         out = out * inv_degree_pts

@@ -46,20 +46,22 @@ class DomainArrays:
     bnode_local: jax.Array     # (P, B) int32
     bnode_global: jax.Array    # (P, B) int32
     D: jax.Array               # (n, n), replicated
+    layers: jax.Array          # (P,) int32 real slab layers (ragged slabs)
 
 
 def _specs(axis: str):
     return DomainArrays(
         geom=P(axis), mask=P(axis), gather_ids=P(axis), inv_degree=P(axis),
         inv_degree_pts=P(axis), bnode_local=P(axis), bnode_global=P(axis),
-        D=P())
+        D=P(), layers=P(axis))
 
 
 def _squeeze_shard(a: DomainArrays) -> DomainArrays:
     return DomainArrays(
         geom=a.geom[0], mask=a.mask[0], gather_ids=a.gather_ids[0],
         inv_degree=a.inv_degree[0], inv_degree_pts=a.inv_degree_pts[0],
-        bnode_local=a.bnode_local[0], bnode_global=a.bnode_global[0], D=a.D)
+        bnode_local=a.bnode_local[0], bnode_global=a.bnode_global[0], D=a.D,
+        layers=a.layers[0])
 
 
 class Domain:
@@ -124,6 +126,14 @@ class Domain:
             mask = sharded.dirichlet_mask
             invd = sharded.inv_degree_pts
 
+        if sharded.structured is not None:
+            layer_counts = np.asarray(sharded.structured.layer_counts,
+                                      dtype=np.int32)
+            self.ragged = sharded.structured.ragged
+        else:
+            layer_counts = np.zeros((sharded.num_shards,), dtype=np.int32)
+            self.ragged = False
+
         arrays = DomainArrays(
             geom=jnp.asarray(geom, dtype=dtype),
             mask=jnp.asarray(mask, dtype=dtype),
@@ -133,6 +143,7 @@ class Domain:
             bnode_local=jnp.asarray(sharded.bnode_local),
             bnode_global=jnp.asarray(sharded.bnode_global),
             D=jnp.asarray(D),
+            layers=jnp.asarray(layer_counts),
         )
         if self.spmd:
             spec = _specs(axis_name)
@@ -174,6 +185,8 @@ class Domain:
         if st.structured is not None:
             n = st.poly_degree + 1
             lat = self.lattice_shape
+            # ragged slab partitions: the real top plane is shard-varying
+            top = (arrays.layers * n - 1) if self.ragged else None
 
             def operator(u):
                 au = sem.stiffness_apply_lattice(
@@ -185,7 +198,7 @@ class Domain:
                     u, lattice_shape=lat, n=n, dim=self.dim,
                     mask=arrays.mask, inv_degree_pts=arrays.inv_degree_pts,
                     axis_name=axis, apply_mask=apply_mask,
-                    apply_weight=apply_weight)
+                    apply_weight=apply_weight, top_plane=top)
         else:
             def operator(u):
                 E, npe = arrays.geom.shape[0], arrays.geom.shape[1]
@@ -318,9 +331,13 @@ class Domain:
 
     def to_device_field(self, host_field: np.ndarray):
         """Element-ordered host values -> device field (lattice layout for
-        structured domains)."""
+        structured domains). Pad-element points are zeroed: device fields
+        must be zero at padding (the face sum would otherwise leak pad
+        values into real planes on ragged partitions)."""
         P = self.sharded.num_shards
-        vals = np.asarray(host_field).reshape(P, -1)
+        vals = np.asarray(host_field).reshape(P, -1).copy()
+        npe = self.sharded.num_points_per_elem
+        vals[~np.repeat(self.sharded.elem_valid, npe, axis=1)] = 0.0
         if self.sharded.structured is not None:
             vals = np.stack([self._host_elem_to_lattice(v).reshape(-1)
                              for v in vals])
@@ -370,6 +387,23 @@ class Domain:
 
         return self._jit_pointwise("operator", run)(self.arrays, u)
 
+    def _global_random_points(self, seed: int) -> np.ndarray:
+        """Random values drawn in GLOBAL element order and scattered into
+        the padded per-shard layout (zeros at pads) — the field must be
+        partition-invariant, and pad elements interleaved between shards
+        would otherwise shift the stream."""
+        st = self.sharded
+        npe = st.num_points_per_elem
+        rng = np.random.default_rng(seed)
+        flat = rng.random(st.num_total_elements * npe)
+        out = np.zeros((st.num_shards, st.elems_per_shard * npe))
+        k = 0
+        for p in range(st.num_shards):
+            ne = int(st.elem_valid[p].sum())
+            out[p, :ne * npe] = flat[k:k + ne * npe]
+            k += ne * npe
+        return out.reshape(-1)
+
     def initial_function(self, function_id: int = 0, seed: int = 0):
         """Manufactured solutions ids 0-4 (domain.tpp:527-580), made
         continuous and masked exactly like the reference (dssum with
@@ -393,11 +427,9 @@ class Domain:
         elif function_id == 2:
             vals = np.exp(x) * base
         elif function_id == 3:
-            rng = np.random.default_rng(seed)
-            vals = base + 0.2 * rng.random(x.shape)
+            vals = base + 0.2 * self._global_random_points(seed)
         elif function_id == 4:
-            rng = np.random.default_rng(seed)
-            vals = rng.random(x.shape)
+            vals = self._global_random_points(seed)
         else:
             raise ValueError(f"unknown function id {function_id}")
         u = self.to_device_field(vals.reshape(st.num_shards, -1))

@@ -166,11 +166,15 @@ def pmultigrid(domain, mesh_builder, poly_reduction: int = None,
     axis = lambda: domain.axis_name
     lat_shapes = [tuple(g * (o + 1) for g in grid) for o in all_orders]
 
+    ragged = domain.sharded.structured.ragged
+
     def build(arrays, extra, ops):
         operator_f, dssum_f, dot, dot2 = ops
         ax = axis()
 
         def level_ops(lvl, n_c, lat):
+            top = (arrays.layers * n_c - 1) if ragged else None
+
             def op(u):
                 return sem.stiffness_apply_lattice(
                     u.reshape(lat), lvl["geom"], lvl["D"], dim
@@ -181,7 +185,7 @@ def pmultigrid(domain, mesh_builder, poly_reduction: int = None,
                     u, lattice_shape=lat, n=n_c, dim=dim,
                     mask=lvl["mask"], inv_degree_pts=lvl["inv_degree_pts"],
                     axis_name=ax, apply_mask=apply_mask,
-                    apply_weight=apply_weight)
+                    apply_weight=apply_weight, top_plane=top)
 
             diag = sem.stiffness_diagonal_lattice(lvl["geom"], lvl["D"],
                                                   dim).reshape(-1)

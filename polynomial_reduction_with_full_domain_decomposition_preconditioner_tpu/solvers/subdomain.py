@@ -37,8 +37,16 @@ solve is preconditioned by the matrix-free hybrid V-cycle (inner="amg"),
 the assembled low-order FEM hierarchy (inner="fem-amg", S12/S13), Jacobi,
 or plain QQt (the reference's use_preconditioner=false bring-up mode).
 
-Remaining v1 constraint: meshes must be structured with mz divisible by
-the shard count.
+Arbitrary shard counts are supported (the reference strong-scales with
+any rank count, run.py:26): the layer partition is balanced (q or q+1
+layers per shard) and every shard's composite uses identical static group
+shapes with trailing pad layers (zero geometry/mask) in the own-slab and
+far-field groups; the two affected group-interface planes are addressed
+dynamically per shard. The far-field z-compression (far_coarsen) requires
+an aligned partition; inner='fem-amg' likewise.
+
+Remaining v1 constraint: meshes must be structured (slab-partitionable
+box/Kershaw lattices).
 """
 
 from __future__ import annotations
@@ -243,19 +251,32 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
     """
     sd = domain.sharded
     if sd.structured is None:
-        raise NotImplementedError("composite_dd requires a structured "
-                                  "slab-partitioned domain")
+        # generic (non-slab) partitions: the unstructured composite path
+        # (element graph + expander growth + oriented face constraints)
+        from .unstructured import composite_dd_unstructured
+        if far_coarsen not in ("auto", 1):
+            raise ValueError("far_coarsen requires a structured slab "
+                             "partition (z-layer merging)")
+        return composite_dd_unstructured(
+            domain, mesh_builder, poly_reduction,
+            subdomain_overlap=subdomain_overlap,
+            num_iterations=num_iterations, inner=inner,
+            num_vcycles=num_vcycles, cheby_order=cheby_order,
+            ptype=ptype, max_coarse=max_coarse, fine_mesh=fine_mesh)
     dim = domain.dim
     N = domain.poly_degree
     dtype = ptype if ptype is not None else domain.dtype
     Pn = sd.num_shards
     elem_shape = sd.structured.elem_shape
     m_last = elem_shape[-1]
-    S = sd.structured.slab_elems
-    if S * Pn != m_last:
-        raise NotImplementedError(
-            "composite_dd requires the shard count to divide the last "
-            f"element dimension exactly ({m_last} layers, {Pn} shards)")
+    counts = sd.structured.layer_counts      # real layers per shard
+    bases = sd.structured.layer_starts       # first physical layer
+    S = sd.structured.slab_elems             # padded slab slots (= max)
+    ragged = sd.structured.ragged
+    if min(counts) < 1:
+        raise ValueError(
+            f"every shard needs >= 1 element layer: {m_last} layers over "
+            f"{Pn} shards leaves empty shards")
     plane_shape = tuple(reversed(elem_shape[:-1]))  # e.g. (my, mx)
 
     # level hierarchy N, N-r, ..., 1 (subdomain.tpp:93-120)
@@ -264,31 +285,61 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
         orders.append(max(orders[-1] - poly_reduction, 1))
     L = len(orders)
     V = subdomain_overlap
-    if S < V * L:
+    if min(counts) < V * L:
         raise ValueError(
-            f"own slab ({S} layers) must cover the ring depth ({V * L}) so "
-            "rings come from nearest neighbors only")
+            f"own slab (min {min(counts)} layers) must cover the ring "
+            f"depth ({V * L}) so rings come from nearest neighbors only")
 
-    if far_coarsen == "auto":
-        # the assembled fem-amg oracle assumes fine layers: auto must
-        # never pick a factor the chosen inner cannot use
-        Fz = (1 if inner == "fem-amg"
-              else _auto_far_zcoarse(S, V, L, m_last, superdomain_overlap))
-    else:
-        Fz = int(far_coarsen)
-        if Fz > 1 and (S % Fz or (V * L) % Fz or m_last % Fz):
-            # mirror _auto_far_zcoarse's shard-alignment conditions for an
-            # explicit factor (every shard's far region must start and end
-            # on a merged-layer boundary)
+    if ragged:
+        # uneven slabs: the own and far groups carry trailing pad layers
+        # so all shards share static shapes; compression and the assembled
+        # fem-amg oracle both assume layer-aligned shard boundaries
+        if far_coarsen not in ("auto", 1) and int(far_coarsen) > 1:
             raise ValueError(
-                f"far_coarsen={Fz} must divide the slab ({S}), the ring "
-                f"extent ({V * L}) and the layer count ({m_last})")
-    if Fz > 1 and inner == "fem-amg":
-        raise ValueError("far_coarsen > 1 requires inner='amg' "
-                         "(the assembled fem-amg path assumes fine layers)")
-    groups = _build_group_specs(S, V, L, orders, m_last, far_zcoarse=Fz,
-                                sup_overlap=superdomain_overlap)
+                "far_coarsen > 1 requires the shard count to divide the "
+                f"last element dimension ({m_last} layers, {Pn} shards)")
+        if inner == "fem-amg":
+            raise NotImplementedError(
+                "inner='fem-amg' requires the shard count to divide the "
+                "last element dimension; use inner='amg'")
+        Fz = 1
+        if m_last - max(counts) - 2 * V * L < 1:
+            raise ValueError(
+                f"mesh too small for uneven slabs: the largest shard "
+                f"({max(counts)} layers) plus rings (2x{V * L}) must leave "
+                f">= 1 far layer of {m_last}")
+        far_slot = m_last - min(counts) - 2 * V * L
+        groups = _build_group_specs(S, V, L, orders,
+                                    S + 2 * V * L + far_slot,
+                                    far_zcoarse=1,
+                                    sup_overlap=superdomain_overlap)
+    else:
+        if far_coarsen == "auto":
+            # the assembled fem-amg oracle assumes fine layers: auto must
+            # never pick a factor the chosen inner cannot use
+            Fz = (1 if inner == "fem-amg"
+                  else _auto_far_zcoarse(S, V, L, m_last,
+                                         superdomain_overlap))
+        else:
+            Fz = int(far_coarsen)
+            if Fz > 1 and (S % Fz or (V * L) % Fz or m_last % Fz):
+                # mirror _auto_far_zcoarse's shard-alignment conditions
+                # for an explicit factor (every shard's far region must
+                # start and end on a merged-layer boundary)
+                raise ValueError(
+                    f"far_coarsen={Fz} must divide the slab ({S}), the "
+                    f"ring extent ({V * L}) and the layer count ({m_last})")
+        if Fz > 1 and inner == "fem-amg":
+            raise ValueError(
+                "far_coarsen > 1 requires inner='amg' (the assembled "
+                "fem-amg path assumes fine layers)")
+        groups = _build_group_specs(S, V, L, orders, m_last, far_zcoarse=Fz,
+                                    sup_overlap=superdomain_overlap)
     G = len(groups)
+    # far-field group indices: between the above-rings and below-rings
+    # (1-3 groups: [fine overlap], compressed middle, [fine overlap])
+    far_idxs = list(range(1 + L, G - L)) if G > 1 + 2 * L else []
+    far_set = set(far_idxs)
 
     # host meshes at every order (geometry source; replaces the reference's
     # gs-tree population of region copies, subdomain.tpp:644-805).
@@ -313,41 +364,58 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
         n_o = mesh_o.poly_degree + 1
         plane = int(np.prod(plane_shape))
         a = np.asarray(field)
+        row_shape = ((n_o,) + tuple(ps * n_o for ps in plane_shape)
+                     + tuple(a.shape[2:]))
         rows = [elements_to_lattice(a[lz * plane:(lz + 1) * plane],
                                     (1,) + plane_shape, n_o, dim)
+                if lz >= 0 else np.zeros(row_shape)
                 for lz in phys_layers]
         return np.concatenate(rows, axis=0)
 
-    # per-shard, per-group device data
-    group_data = []   # list over groups of dicts with (P, ...) arrays
+    def group_phys(g, gi, p):
+        """Physical FINE layer index for each of the group's layer slots
+        (z-coarsened groups: the fine index of the slot's first merged
+        layer); -1 marks pad slots (ragged partitions only)."""
+        s, b = counts[p], bases[p]
+        if not ragged:
+            return [(b + g.start_pos + k * g.zcoarse) % m_last
+                    for k in range(g.layers)]
+        # uneven slabs: slot positions shift by the shard's deficit
+        # (s - S) for the groups between own and far; groups after the
+        # far pads sit at shard-independent positions (start_pos - S +
+        # min(counts) since far real extent shrinks by the same deficit)
+        if gi == 0:
+            off, real = 0, s
+        elif far_set and gi > min(far_set):
+            off, real = g.start_pos - S + min(counts), g.layers
+        elif gi in far_set:
+            off, real = g.start_pos + (s - S), m_last - s - 2 * V * L
+        else:
+            off, real = g.start_pos + (s - S), g.layers
+        return ([(b + off + k) % m_last for k in range(real)]
+                + [-1] * (g.layers - real))
+
+    # per-shard physical layer maps and interface adjacency: interface
+    # gi -> gi+1 is physical unless it sits on the global z boundary
+    phys_lists = [[group_phys(g, gi, p) for gi, g in enumerate(groups)]
+                  for p in range(Pn)]
     adj = np.zeros((Pn, G))
     for p in range(Pn):
-        base = p * S
-        for gi, g in enumerate(groups):
-            # interface gi -> gi+1 sits after this group's last fine layer
-            phys_next = (base + g.start_pos + g.fine_extent) % m_last
-            adj[p, gi] = 0.0 if phys_next == 0 else 1.0
+        for gi in range(G):
+            adj[p, gi] = 0.0 if phys_lists[p][(gi + 1) % G][0] == 0 else 1.0
 
-    def group_phys(g, p):
-        """Physical layer indices for this group's stack, in the group's
-        own (possibly z-coarsened) layer units."""
-        base = p * S
-        if g.zcoarse == 1:
-            return [(base + g.start_pos + k) % m_last
-                    for k in range(g.layers)]
-        # the far group is F-aligned for every shard (_auto_far_zcoarse)
-        start_f = (base + g.start_pos) % m_last
-        assert start_f % g.zcoarse == 0
-        m_c = m_last // g.zcoarse
-        return [(start_f // g.zcoarse + k) % m_c for k in range(g.layers)]
-
+    # per-shard, per-group device data
+    group_data = []   # list over groups of dicts with (P, ...) arrays
     for gi, g in enumerate(groups):
         o = g.order
         n_o = o + 1
         mesh_o = mesh_far if g.zcoarse > 1 else mesh_by_order[o]
         geom_list, mask_list, wt_list = [], [], []
         for p in range(Pn):
-            phys = group_phys(g, p)
+            phys = phys_lists[p][gi]
+            if g.zcoarse > 1:
+                # the far mesh is z-merged: fine start index -> coarse
+                phys = [q // g.zcoarse if q >= 0 else -1 for q in phys]
             geom_list.append(layer_slice(mesh_o, phys, mesh_o.geom,
                                          ))
             mask_list.append(layer_slice(mesh_o, phys,
@@ -384,6 +452,27 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
         "Jlvl": Jlvl,
     }
 
+    phys_rows = None
+    if ragged:
+        # per-shard scalars for the dynamic group interfaces (shard_map
+        # slices the (P,) arrays to per-shard scalars): real own layers,
+        # real far layers, first physical layer
+        extra["rg"] = {
+            "s": jnp.asarray(np.asarray(counts, dtype=np.int32)),
+            "far": jnp.asarray(np.asarray(
+                [m_last - c - 2 * V * L for c in counts], dtype=np.int32)),
+            "base": jnp.asarray(np.asarray(bases, dtype=np.int32)),
+        }
+        # static row map compacting the all_gathered padded coarse slabs
+        # (P * S * n_c rows) to physical plane order (m_last * n_c rows)
+        n_cl = orders[-1] + 1
+        pr = []
+        for p in range(Pn):
+            for j in range(counts[p]):
+                pr.extend(range((p * S + j) * n_cl,
+                                (p * S + j + 1) * n_cl))
+        phys_rows = np.asarray(pr, dtype=np.int32)
+
     if Fz > 1:
         # z prolongation fine-far -> coarse-far lattice (order-1 layers):
         # P[(e,i), (c,j)] = linear shape function of coarse node j at fine
@@ -410,6 +499,8 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
         }
         if "Rzfar" in extra:
             specs["Rzfar"] = P()
+        if "rg" in extra:
+            specs["rg"] = {k: P(ax) for k in extra["rg"]}
         return specs
 
     amg_specs = None
@@ -438,7 +529,7 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
 
         P1p = []   # per group, per plane dim (replicated)
         P1z = []   # per group, z factor (per shard: cyclic physical layers)
-        for g in groups:
+        for gi, g in enumerate(groups):
             n_o = g.order + 1
             t = lin_blend(n_o)
             facs = []
@@ -452,10 +543,11 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
             mats = []
             for p in range(Pn):
                 F = np.zeros((g.layers * n_o, m_last + 1))
-                for k in range(g.layers):
+                for k, q in enumerate(phys_lists[p][gi]):
+                    if q < 0:
+                        continue   # pad slot: zero rows
                     # fine vertex planes bounding layer k (z-coarsened
                     # layers span zcoarse fine planes, always F-aligned)
-                    q = (p * S + g.start_pos + k * g.zcoarse) % m_last
                     F[k * n_o:(k + 1) * n_o, q] = 1.0 - t
                     F[k * n_o:(k + 1) * n_o, q + g.zcoarse] = t
                 mats.append(F)
@@ -483,7 +575,7 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
         from ..amg.vcycle import pack_hierarchies
         shard_ids = range(Pn) if domain.spmd else [0]
         hiers = [build_composite_hierarchy(
-            groups, mesh_by_order, plane_shape, m_last, p * S, dim,
+            groups, mesh_by_order, plane_shape, m_last, bases[p], dim,
             max_coarse=max_coarse) for p in shard_ids]
         extra["amg"] = pack_hierarchies(hiers, dtype=dtype,
                                         stack=domain.spmd)
@@ -507,10 +599,8 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
 
     # ring block positions within the *neighbor's* restricted slab:
     # above-ring level l = neighbor-above's layers [l*V, (l+1)*V)
-    # below-ring level l = neighbor-below's layers [S-(l+1)*V, S-l*V)
-    # groups between the above-rings and below-rings (1-3 far groups:
-    # [fine overlap], compressed middle, [fine overlap])
-    far_idxs = list(range(1 + L, G - L)) if G > 1 + 2 * L else []
+    # below-ring level l = neighbor-below's layers [s-(l+1)*V, s-l*V)
+    # (far_idxs computed at group construction above)
 
     def make_ops(extra):
         """Shard-local composite ops from the (squeezed) extra pytree.
@@ -522,6 +612,38 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
         Jx = extra["J"]
         Jlvl_x = extra["Jlvl"]
         Rzfar_x = extra.get("Rzfar")
+        rg = extra.get("rg")        # ragged scalars (s, far, base) or None
+
+        # dynamic group-interface planes (ragged partitions): the own and
+        # far groups carry trailing pad layers, so their real top plane is
+        # at a shard-varying lattice index. Both meet only same-order
+        # neighbors (ring 0 is at order N; the far neighbors at order 1),
+        # so the cross-order interface code stays static.
+        dyn_top = {}
+        if rg is not None:
+            dyn_top[0] = rg["s"] * (groups[0].order + 1) - 1
+            if far_idxs:
+                dyn_top[far_idxs[0]] = rg["far"] * (orders[-1] + 1) - 1
+            for gi in dyn_top:
+                if groups[gi].order != groups[(gi + 1) % G].order:
+                    raise AssertionError(
+                        "dynamic-plane group must meet a same-order "
+                        "neighbor (structural invariant)")
+
+        def top_of(gi, U):
+            if gi in dyn_top:
+                return jax.lax.dynamic_index_in_dim(U, dyn_top[gi], 0,
+                                                    keepdims=False)
+            return U[-1]
+
+        def add_top(gi, U, val):
+            if gi in dyn_top:
+                idx = dyn_top[gi]
+                cur = jax.lax.dynamic_index_in_dim(U, idx, 0,
+                                                   keepdims=False)
+                return jax.lax.dynamic_update_index_in_dim(
+                    U, cur + val, idx, 0)
+            return U.at[-1].add(val)
 
         # ---- composite vector <-> per-group lattice views ----
         def split(vec):
@@ -563,7 +685,7 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
                 gj = (gi + 1) % G
                 o_i, o_j = groups[gi].order, groups[gj].order
                 a = adj_x[gi]
-                top = parts[gi][-1]
+                top = top_of(gi, parts[gi])
                 bot = parts[gj][0]
                 if o_i == o_j:
                     contrib_lo[gi] = a * bot
@@ -579,14 +701,16 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
             #    same-order interfaces both sides receive the other's
             #    original plane in step 1, so after assembly they hold the
             #    identical shared value (the group-boundary plane is not
-            #    touched by intra-group z sums).
+            #    touched by intra-group z sums; pad planes hold zeros, so
+            #    a dynamic real-top plane only ever receives zeros from
+            #    the padding above it).
             summed = []
             for gi in range(G):
                 U = parts[gi]
                 if contrib_hi[gi] is not None:
                     U = U.at[0].add(contrib_hi[gi])
                 if contrib_lo[gi] is not None:
-                    U = U.at[-1].add(contrib_lo[gi])
+                    U = add_top(gi, U, contrib_lo[gi])
                 summed.append(gs.lattice_face_sum(U, groups[gi].order + 1))
 
             # 3. distribute assembled owner planes back to the other side
@@ -667,23 +791,40 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
                 else:
                     full = r_lvl[-1]
                     shard_id = 0
-                # full: (m_last*n_c, MY_c, MX_c) in physical z order
-                shift = -(shard_id * S * n_c)
-                rolled = jnp.roll(full, shift, axis=0)
-                for fi in far_idxs:
-                    far_g = groups[fi]
-                    far = jax.lax.dynamic_slice_in_dim(
-                        rolled, far_g.start_pos * n_c,
-                        far_g.fine_extent * n_c, axis=0)
-                    if far_g.zcoarse > 1:
-                        far = interp.axis_contract(Rzfar_x, far, 0)
-                    parts.append(far)
+                if rg is not None:
+                    # uneven slabs: compact the gathered padded slabs to
+                    # physical plane order, then roll my far start to row 0
+                    # (a single far group; its pad tail is zero-masked)
+                    full = full[jnp.asarray(phys_rows)]
+                    far_g = groups[far_idxs[0]]
+                    shift = -((rg["base"] + rg["s"] + V * L) * n_c)
+                    rolled = jnp.roll(full, shift, axis=0)
+                    far = rolled[:far_g.layers * n_c]
+                    zmask = (jnp.arange(far_g.layers * n_c)
+                             < rg["far"] * n_c).astype(far.dtype)
+                    parts.append(far * zmask.reshape(
+                        (-1,) + (1,) * (far.ndim - 1)))
+                else:
+                    # full: (m_last*n_c, MY_c, MX_c) in physical z order
+                    shift = -(shard_id * S * n_c)
+                    rolled = jnp.roll(full, shift, axis=0)
+                    for fi in far_idxs:
+                        far_g = groups[fi]
+                        far = jax.lax.dynamic_slice_in_dim(
+                            rolled, far_g.start_pos * n_c,
+                            far_g.fine_extent * n_c, axis=0)
+                        if far_g.zcoarse > 1:
+                            far = interp.axis_contract(Rzfar_x, far, 0)
+                        parts.append(far)
 
-            # rings below: level L-1 ... 0, from the shard below
+            # rings below: level L-1 ... 0, from the shard below (the
+            # sender slices its own slab, so ragged partitions use the
+            # sender's real layer count)
             for l in range(L - 1, -1, -1):
                 n_l = n_per_lvl[l]
+                s_send = rg["s"] if rg is not None else S
                 block = jax.lax.dynamic_slice_in_dim(
-                    r_lvl[l], (S - (l + 1) * V) * n_l, V * n_l, axis=0)
+                    r_lvl[l], (s_send - (l + 1) * V) * n_l, V * n_l, axis=0)
                 if ax is not None and nsh > 1:
                     block = jax.lax.ppermute(block, ax, up)
                 parts.append(block)
@@ -813,10 +954,9 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
         # operator; estimated once at setup by device power iteration over
         # the same traced ops (hypre's eigenvalue-estimate role,
         # subdomain.tpp:3496-3497)
-        core = {k: extra[k] for k in ("groups", "adj", "J", "Jlvl")
+        core = {k: extra[k] for k in ("groups", "adj", "J", "Jlvl",
+                                      "Rzfar", "rg")
                 if k in extra}
-        if "Rzfar" in extra:
-            core["Rzfar"] = extra["Rzfar"]
 
         def _lmax_impl(core_x):
             ops_c = make_ops(core_x)
