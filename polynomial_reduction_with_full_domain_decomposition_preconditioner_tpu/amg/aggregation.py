@@ -1,0 +1,183 @@
+"""Smoothed-aggregation AMG setup for unstructured vertex spaces.
+
+The reference leans on hypre BoomerAMG twice: as a graph-coarsening
+oracle for the superdomain composite (/root/reference/subdomain.tpp:
+1851-1858) and as the low-order FEM hierarchy builder (:3482-3489).
+SURVEY.md section 7.3(3) allows a documented simpler variant with
+equivalent convergence on the benchmark meshes; this module is that
+variant for meshes with no tensor structure: classical smoothed
+aggregation (greedy strength-based aggregation + Jacobi-smoothed
+piecewise-constant prolongation + Galerkin RAP), validated by the
+iteration-count tests.
+
+Host-side float64 numpy/scipy; the device V-cycle engine
+(amg/vcycle.vcycle_apply) consumes the packed levels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sp
+
+from .composite import _power_lmax, _mask_fold
+
+__all__ = ["q1_vertex_matrix", "aggregation_chain", "pack_level_chain"]
+
+
+def q1_vertex_matrix(mesh1) -> tuple[sp.csr_matrix, np.ndarray]:
+    """Assembled order-1 SEM (Q1) stiffness matrix on the global vertex
+    space of an arbitrary hex/quad mesh, Dirichlet-folded.
+
+    The reference's superdomain coarse matrix role (subdomain.tpp:
+    1642-1848), built from the mesh's own geometric factors instead of
+    allgathered per-rank pieces. Returns (A, vmask).
+    """
+    from ..utils.gll import diff_matrix
+
+    dim = mesh1.dim
+    npe = mesh1.num_points_per_elem
+    D1 = diff_matrix(2)                    # (2, 2)
+    eye = np.eye(2)
+
+    # npe x npe derivative operators along each reference axis (x = axis
+    # dim-1 is the fastest / last kron factor)
+    Ds = []
+    for a in range(dim):                   # a = 0 -> r (x direction)
+        mats = [eye] * dim
+        mats[dim - 1 - a] = D1
+        M = mats[0]
+        for k in range(1, dim):
+            M = np.kron(M, mats[k])
+        Ds.append(M)
+    Ds = np.stack(Ds)                      # (dim, npe, npe)
+
+    # symmetric G tensor from the packed components
+    if dim == 2:
+        comp = [(0, 0, 0), (1, 1, 1), (2, 0, 1)]
+    else:
+        comp = [(0, 0, 0), (1, 1, 1), (2, 2, 2),
+                (3, 0, 1), (4, 0, 2), (5, 1, 2)]
+    E = mesh1.num_elements
+    Gf = np.zeros((E, npe, dim, dim))
+    for k, a, b in comp:
+        Gf[..., a, b] = mesh1.geom[..., k]
+        Gf[..., b, a] = mesh1.geom[..., k]
+
+    K = np.einsum("amp,emab,bmq->epq", Ds, Gf, Ds)   # (E, npe, npe)
+
+    ids = mesh1.glo_num
+    nv = mesh1.num_nodes
+    rows = np.repeat(ids, npe, axis=1).ravel()
+    cols = np.tile(ids, (1, npe)).ravel()
+    A = sp.coo_matrix((K.ravel(), (rows, cols)), shape=(nv, nv)).tocsr()
+    A.sum_duplicates()
+
+    vmask = np.ones(nv)
+    vmask[ids[mesh1.dirichlet_mask < 0.5]] = 0.0
+    return _mask_fold(A, vmask), vmask
+
+
+def _aggregate(A: sp.csr_matrix, active: np.ndarray, theta: float = 0.08):
+    """Greedy strength-based aggregation (the smoothed-aggregation
+    standard: seed aggregates on uncovered nodes, then attach leftovers).
+    Returns agg (n,) with aggregate id or -1 (masked/inactive nodes)."""
+    n = A.shape[0]
+    d = A.diagonal()
+    indptr, indices, data = A.indptr, A.indices, A.data
+
+    def strong_neighbors(i):
+        sl = slice(indptr[i], indptr[i + 1])
+        js = indices[sl]
+        vs = np.abs(data[sl])
+        thr = theta * np.sqrt(abs(d[i])) * np.sqrt(np.abs(d[js]))
+        sel = (js != i) & (vs > thr) & active[js]
+        return js[sel]
+
+    agg = np.full(n, -1, dtype=np.int64)
+    na = 0
+    # pass 1: seed aggregates on nodes with fully uncovered neighborhoods
+    for i in range(n):
+        if not active[i] or agg[i] >= 0:
+            continue
+        nb = strong_neighbors(i)
+        if (agg[nb] >= 0).any():
+            continue
+        agg[i] = na
+        agg[nb] = na
+        na += 1
+    # pass 2: attach leftovers to the strongest neighboring aggregate
+    for i in range(n):
+        if not active[i] or agg[i] >= 0:
+            continue
+        nb = strong_neighbors(i)
+        hit = nb[agg[nb] >= 0]
+        if hit.size:
+            agg[i] = agg[hit[0]]
+        else:
+            agg[i] = na
+            na += 1
+    return agg, na
+
+
+def aggregation_chain(A0: sp.csr_matrix, vmask: np.ndarray,
+                      max_coarse: int = 600, theta: float = 0.08,
+                      omega: float = 2.0 / 3.0, max_levels: int = 12):
+    """Smoothed-aggregation hierarchy: returns a dict with mats, prolongs,
+    lmaxs, coarse_inv (the coarsen_chain_info schema minus grid shapes)."""
+    info = {"mats": [A0.tocsr()], "prolongs": [], "lmaxs": [],
+            "coarse_inv": None}
+    A = A0.tocsr()
+    active = vmask > 0.5
+    for _ in range(max_levels):
+        if A.shape[0] <= max_coarse:
+            break
+        agg, na = _aggregate(A, active, theta=theta)
+        if na == 0 or na >= A.shape[0]:
+            break
+        sel = agg >= 0
+        P0 = sp.csr_matrix(
+            (np.ones(int(sel.sum())), (np.flatnonzero(sel), agg[sel])),
+            shape=(A.shape[0], na))
+        lmax = _power_lmax(A)
+        d = A.diagonal()
+        invd = sp.diags(np.where(d != 0, 1.0 / d, 0.0))
+        # Jacobi-smoothed prolongation: P = (I - omega/lmax D^-1 A) P0
+        P = (P0 - (omega / lmax) * (invd @ (A @ P0))).tocsr()
+        Ac = (P.T @ A @ P).tocsr()
+        Ac.sum_duplicates()
+        info["lmaxs"].append(lmax)
+        info["prolongs"].append(P)
+        info["mats"].append(Ac)
+        A = Ac
+        active = np.ones(A.shape[0], dtype=bool)
+    info["coarse_inv"] = np.linalg.inv(info["mats"][-1].toarray())
+    return info
+
+
+def pack_level_chain(info: dict, dtype=None):
+    """Device pytree for one replicated hierarchy, consumable by
+    amg/vcycle.vcycle_apply (levels as padded ELL, dense coarse inverse)."""
+    import jax.numpy as jnp
+    from ..ops.csr import ell_from_csr
+
+    if dtype is None:
+        dtype = jnp.float32
+    nlev = len(info["mats"])
+    levels = []
+    for l in range(nlev):
+        A = info["mats"][l]
+        d = A.diagonal()
+        levels.append({
+            "A": ell_from_csr(A, dtype=dtype),
+            "invd": jnp.asarray(np.where(d != 0, 1.0 / d, 0.0), dtype=dtype),
+            "lmax": jnp.asarray(
+                info["lmaxs"][l] if l < nlev - 1 else 1.0, dtype=dtype),
+        })
+    return {
+        "levels": levels,
+        "prolongs": [ell_from_csr(Pm, dtype=dtype)
+                     for Pm in info["prolongs"]],
+        "restricts": [ell_from_csr(Pm.T.tocsr(), dtype=dtype)
+                      for Pm in info["prolongs"]],
+        "coarse_inv": jnp.asarray(info["coarse_inv"], dtype=dtype),
+    }

@@ -23,6 +23,10 @@ class Config:
     mesh: str = "kershaw"              # kershaw | box
     shape: tuple = (8, 8, 8)           # element grid (mx, my[, mz])
     epsilon: float = 0.3               # Kershaw distortion (run.py:24-49)
+    scramble: int | None = None        # unstructured connectivity: random
+    #   element permutation + local-frame rotations with this seed (the
+    #   stand-in for the reference's Nek5000 pebble-bed exports,
+    #   run.py:51-79); engages the generic-partition composite path
     poly_degree: int = 7               # N (run.py:12)
     poly_reduction: int = 6            # reduction (run.py:13)
     subdomain_overlap: int = 1         # (run.py:14)
@@ -106,6 +110,8 @@ class Config:
         p.add_argument("--mesh", default=d.mesh, choices=["kershaw", "box"])
         p.add_argument("--shape", default=",".join(map(str, d.shape)))
         p.add_argument("--epsilon", type=float, default=d.epsilon)
+        p.add_argument("--scramble", type=int, default=None,
+                       help="unstructured connectivity: scramble seed")
         p.add_argument("--stype", default=d.stype)
         p.add_argument("--ptype", default=d.ptype)
         p.add_argument("--solver", default=d.solver,
@@ -133,7 +139,8 @@ class Config:
         a = p.parse_args(argv)
         return cls(
             mesh=a.mesh, shape=tuple(int(x) for x in a.shape.split(",")),
-            epsilon=a.epsilon, poly_degree=a.poly_degree,
+            epsilon=a.epsilon, scramble=a.scramble,
+            poly_degree=a.poly_degree,
             poly_reduction=a.poly_reduction,
             subdomain_overlap=a.subdomain_overlap,
             superdomain_overlap=a.superdomain_overlap,

@@ -30,6 +30,9 @@ def _build_domain(cfg: Config, device_mesh=None):
         builder = partial(mg.kershaw_mesh, cfg.shape, epsilon=cfg.epsilon)
     else:
         builder = partial(mg.box_mesh, cfg.shape)
+    if cfg.scramble is not None:
+        base = builder
+        builder = lambda o: mg.scramble_mesh(base(o), seed=cfg.scramble)
     mesh = builder(cfg.poly_degree)
     sd = partition_mesh(mesh, cfg.num_shards)
     dom = Domain(sd, dtype=cfg.stype_dtype(), device_mesh=device_mesh)

@@ -157,21 +157,28 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
                                 E_pad)
                    for p in range(Pn)] for c in range(C)]
 
+    nv = mesh1.num_nodes
     for c in range(C):
         n_o = orders[c] + 1
+        mesh_o = mesh_by_order[orders[c]]
         per = cls_setups[c]
         NNs = [s["NN"] for s in per]
         NN = max(NNs)
         Ec = per[0]["E"]
+        npe_c = per[0]["npe"]
         gids = np.stack([
             np.where(s["gids"] == s["NN"], NN, s["gids"]) for s in per])
         nmask = np.zeros((Pn, NN + 1))
         for p, s in enumerate(per):
             nmask[p, :s["NN"]] = s["nmask"][:s["NN"]]
         geom = np.stack([s["geom"] for s in per])
-        # element source slots in the all_gathered padded fine arrays
+        # element source slots in the all_gathered padded fine arrays;
+        # element corner vertex ids + inverse point multiplicity (for the
+        # vertex-space coarse correction of the hybrid inner)
         src = np.zeros((Pn, Ec), dtype=np.int32)
         valid = np.zeros((Pn, Ec))
+        vids = np.full((Pn, Ec, 2 ** dim), nv, dtype=np.int32)
+        pw = np.zeros((Pn, Ec * npe_c))
         for p in range(Pn):
             e = class_elems[c][p]
             real = e >= 0
@@ -179,10 +186,13 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
             src[p] = np.where(
                 real, owner_of[safe] * E_pad + slot_of[safe], 0)
             valid[p] = real.astype(float)
+            vids[p][real] = verts[safe][real]
+            w = (1.0 / mesh_o.node_degree[safe]) * real[:, None]
+            pw[p] = w.reshape(-1)
         classes.append({
             "order": orders[c], "n": n_o, "E": Ec, "NN": NN,
             "gids": gids, "nmask": nmask, "geom": geom,
-            "src": src, "valid": valid,
+            "src": src, "valid": valid, "vids": vids, "pw": pw,
             "D": diff_matrix(n_o),
         })
 
@@ -231,6 +241,8 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
             "geom": jnp.asarray(sq(cl["geom"]), dtype=dtype),
             "src": jnp.asarray(sq(cl["src"])),
             "valid": jnp.asarray(sq(cl["valid"]), dtype=dtype),
+            "vids": jnp.asarray(sq(cl["vids"])),
+            "pw": jnp.asarray(sq(cl["pw"]), dtype=dtype),
             "D": jnp.asarray(cl["D"], dtype=dtype),
         } for cl in classes],
         "slv": [{
@@ -243,15 +255,65 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
                  for i in range(L - 1)],
     }
 
-    def extra_specs(ax):
+    def core_specs(ax):
         return {
             "classes": [{"gids": P(ax), "nmask": P(ax), "geom": P(ax),
-                         "src": P(ax), "valid": P(ax), "D": P()}
+                         "src": P(ax), "valid": P(ax), "vids": P(ax),
+                         "pw": P(ax), "D": P()}
                         for _ in classes],
             "slv": [{"ids": P(ax), "cols": P(ax), "wts": P(ax)}
                     for _ in slaves],
             "Jlvl": [P() for _ in extra["Jlvl"]],
         }
+
+    amg_pack = None
+    if inner == "amg":
+        # hybrid V-cycle (matrix-free redesign of S12/S13 for unstructured
+        # meshes): Chebyshev smoothing directly on the composite SEM
+        # operator + a replicated smoothed-aggregation hierarchy on the
+        # global element-vertex Q1 matrix (the reference's superdomain-Q1
+        # + BoomerAMG role, subdomain.tpp:1642-1858 / 3482-3489)
+        from ..amg.aggregation import (q1_vertex_matrix, aggregation_chain,
+                                       pack_level_chain)
+        from ..utils.gll import gll_points_weights
+        A_v, vmask = q1_vertex_matrix(mesh1)
+        chain = pack_level_chain(
+            aggregation_chain(A_v, vmask, max_coarse=max_coarse),
+            dtype=dtype)
+
+        # trilinear corner-blend matrices (npe_o, 2^dim) per class: the
+        # gather-free vertex<->nodal transfer factors
+        def blend_matrix(n_o):
+            r_, _ = gll_points_weights(n_o)
+            t = (r_ + 1.0) / 2.0
+            fac = np.stack([1.0 - t, t])          # (2, n)
+            B = np.ones((2 ** dim,) + (n_o,) * dim)
+            for cbit in range(2 ** dim):
+                for d in range(dim):              # storage axis (0=slow)
+                    bit = (cbit >> (dim - 1 - d)) & 1
+                    shp = [1] * dim
+                    shp[d] = n_o
+                    B[cbit] = B[cbit] * fac[bit].reshape(shp)
+            return B.reshape(2 ** dim, -1).T      # (npe, 2^dim)
+
+        amg_pack = {
+            "chain": chain,
+            "vmask": jnp.asarray(vmask, dtype=dtype),
+            "B": [jnp.asarray(blend_matrix(orders[c] + 1), dtype=dtype)
+                  for c in range(C)],
+        }
+        extra["amg"] = amg_pack
+
+    def extra_specs(ax):
+        specs = core_specs(ax)
+        if amg_pack is not None:
+            specs["amg"] = {
+                "chain": jax.tree.map(lambda _: P(), amg_pack["chain"]),
+                "vmask": P(),
+                "B": [P() for _ in amg_pack["B"]],
+                "lmax0": P(ax),
+            }
+        return specs
 
     cls_sizes = [cl["E"] * cl["n"] ** dim for cl in classes]
     cls_shapes = [(cl["E"], cl["n"] ** dim) for cl in classes]
@@ -344,7 +406,52 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
         comp_dot = ops_c["comp_dot"]
         tree_rhs = ops_c["tree_rhs"]
 
-        if inner == "jacobi":
+        if inner == "amg":
+            from ..amg.vcycle import cheby_smooth, vcycle_apply
+            amg_x = extra_x["amg"]
+            cls_x = ops_c["cls_x"]
+            comp_inv_diag = comp_inv_diag_of(ops_c)
+            comp_mask = jnp.concatenate(
+                [cx["nmask"][cx["gids"]] for cx in cls_x])
+            lmax0 = amg_x["lmax0"]
+            nvp = amg_x["vmask"].shape[0]
+
+            def A_mf(x):
+                return comp_dssum(comp_operator(x), apply_mask=True)
+
+            def restrict_to_vertex(r):
+                parts = ops_c["split"](r)
+                acc = jnp.zeros((nvp + 1,), dtype=r.dtype)
+                for c, cx in enumerate(cls_x):
+                    W = (cx["pw"] * parts[c].reshape(-1)).reshape(
+                        parts[c].shape)
+                    contrib = jnp.einsum("pc,ep->ec", amg_x["B"][c], W)
+                    acc = acc.at[cx["vids"]].add(contrib, mode="drop")
+                return acc[:nvp] * amg_x["vmask"]
+
+            def prolong_from_vertex(v):
+                vp = jnp.concatenate([v * amg_x["vmask"],
+                                      jnp.zeros((1,), v.dtype)])
+                outs = []
+                for c, cx in enumerate(cls_x):
+                    vals = vp[cx["vids"]]             # (Ec, 2^dim)
+                    outs.append(jnp.einsum("pc,ec->ep", amg_x["B"][c],
+                                           vals).reshape(-1))
+                return jnp.concatenate(outs)
+
+            def inner_precond(rr):
+                fc = comp_dssum(rr, apply_mask=True)
+                x = cheby_smooth(A_mf, comp_inv_diag, lmax0, fc, None,
+                                 cheby_order)
+                for _ in range(num_vcycles):
+                    r = fc - A_mf(x)
+                    v = vcycle_apply(amg_x["chain"], restrict_to_vertex(r),
+                                     cheby_order=cheby_order)
+                    x = x + prolong_from_vertex(v) * comp_mask
+                    x = cheby_smooth(A_mf, comp_inv_diag, lmax0, fc, x,
+                                     cheby_order)
+                return x
+        elif inner == "jacobi":
             comp_inv_diag = comp_inv_diag_of(ops_c)
 
             def inner_precond(rr):
@@ -354,8 +461,8 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
                 return comp_dssum(rr, apply_mask=True)
         else:
             raise NotImplementedError(
-                f"unstructured composite inner={inner!r} (use 'jacobi' or "
-                "'none'; the hybrid V-cycle lands with the aggregation AMG)")
+                f"unstructured composite inner={inner!r} "
+                "(use 'amg', 'jacobi' or 'none')")
 
         def precond(r):
             # STYPE -> PTYPE cast at the tree boundary (subdomain.okl:268)
@@ -372,6 +479,50 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
             return dssum_f(z, apply_mask=True, apply_weight=True)
 
         return precond
+
+    if inner == "amg":
+        # Chebyshev lambda_max(D^-1 S A) of the composite, by device power
+        # iteration over the same traced ops (hypre's eigenvalue-estimate
+        # role, subdomain.tpp:3496-3497)
+        core = {k: extra[k] for k in ("classes", "slv", "Jlvl")}
+
+        def _lmax_impl(core_x):
+            ops_c = make_ops(core_x)
+            invd = comp_inv_diag_of(ops_c)
+            cls_x = ops_c["cls_x"]
+            mask = jnp.concatenate(
+                [cx["nmask"][cx["gids"]] for cx in cls_x])
+            n_tot = mask.shape[0]
+            x0 = jnp.sin(jnp.arange(n_tot, dtype=dtype) * 0.7311) * mask
+
+            def body(_, carry):
+                x, lam = carry
+                y = invd * ops_c["comp_dssum"](
+                    ops_c["comp_operator"](x), apply_mask=True)
+                num = jnp.dot(y, y)
+                den = jnp.maximum(jnp.dot(x, x), 1e-30)
+                lam = jnp.sqrt(num / den)
+                return (y / jnp.maximum(jnp.sqrt(num), 1e-30), lam)
+
+            lam0 = jnp.dot(x0, x0) * 0.0 + 1.0
+            _, lam = jax.lax.fori_loop(0, 20, body, (x0, lam0))
+            return lam * 1.1
+
+        if domain.spmd:
+            ax = domain.axis_name
+            cspecs = core_specs(ax)
+
+            def _spmd_lmax(core_x):
+                sq2 = jax.tree.map(
+                    lambda s, x: x[0] if s == P(ax) else x, cspecs, core_x,
+                    is_leaf=lambda s: isinstance(s, P))
+                return _lmax_impl(sq2)[None]
+
+            fn = jax.shard_map(_spmd_lmax, mesh=domain.device_mesh,
+                               in_specs=(cspecs,), out_specs=P(ax))
+            extra["amg"]["lmax0"] = jax.jit(fn)(core)
+        else:
+            extra["amg"]["lmax0"] = jax.jit(_lmax_impl)(core)
 
     return Preconditioner(build=build, extra=extra,
                           _extra_specs=extra_specs)

@@ -97,6 +97,50 @@ def test_face_pairs_and_orientation_partition_of_unity():
     np.testing.assert_allclose(interp, fine_vals[ids], atol=1e-12)
 
 
+def test_unstructured_hybrid_amg_inner():
+    # the production inner (Chebyshev on the composite SEM operator +
+    # smoothed-aggregation vertex hierarchy) must reach structured-class
+    # convergence on the scrambled mesh; measured 5 (P=1) / 7 (P=4) vs 19
+    # with the jacobi inner
+    def mk(o):
+        return mg.scramble_mesh(mg.kershaw_mesh((4, 4, 4), o, epsilon=0.3),
+                                seed=11)
+
+    mesh = mk(3)
+    for Pn in (1, 4):
+        sd = partition_mesh(mesh, Pn)
+        dm = jax.make_mesh((Pn,), ("shard",)) if Pn > 1 else None
+        dom = Domain(sd, dtype=jnp.float64, device_mesh=dm)
+        u_star = dom.initial_function(4, seed=3)
+        f = dom.manufacture_rhs(u_star)
+        pre = sub.composite_dd(dom, mk, poly_reduction=2, inner="amg",
+                               fine_mesh=mesh)
+        res = dom.solver(method="fgmres", max_iterations=60,
+                         tolerance=1e-8, precond=pre)(f)
+        assert bool(res.converged)
+        assert int(res.iterations) <= 10, (Pn, int(res.iterations))
+        err = np.abs(dom.from_device_field(res.u)
+                     - dom.from_device_field(u_star)).max()
+        assert err < 1e-6
+
+
+def test_unstructured_2d_composite():
+    def mk2(o):
+        return mg.scramble_mesh(mg.kershaw_mesh((6, 6), o, epsilon=0.3),
+                                seed=4)
+
+    mesh2 = mk2(4)
+    dom = Domain(partition_mesh(mesh2, 4), dtype=jnp.float64,
+                 device_mesh=jax.make_mesh((4,), ("shard",)))
+    u_star = dom.initial_function(4, seed=2)
+    f = dom.manufacture_rhs(u_star)
+    pre = sub.composite_dd(dom, mk2, poly_reduction=3, inner="amg",
+                           fine_mesh=mesh2)
+    res = dom.solver(method="fgmres", max_iterations=100, tolerance=1e-8,
+                     precond=pre)(f)
+    assert bool(res.converged) and int(res.iterations) <= 30
+
+
 @pytest.mark.parametrize("Pn", [1, 4])
 def test_unstructured_composite_beats_jacobi(Pn):
     def mk(o):
