@@ -39,6 +39,9 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     except Exception:
         pass
+    # f64 for the iterative-refinement accuracy metric (XLA emulates f64
+    # on TPU); the headline path stays explicit float32/bfloat16
+    jax.config.update("jax_enable_x64", True)
 
     from functools import partial
     from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.mesh import generator as mg
@@ -58,24 +61,62 @@ def main():
     rng = np.random.default_rng(0)
     u = dom.to_device_field(rng.random(dom.points_shape()).astype(np.float32))
 
+    # Microbenchmark methodology: per-call dispatch + scalar fetch through
+    # the device tunnel cost tens of milliseconds and block_until_ready
+    # can return before execution finishes. So every microbench (a) chains
+    # its iterations inside ONE jit (lax.fori_loop, loop-carried
+    # dependency, ends in a scalar so execution is forced by the fetch)
+    # and (b) is DIFFERENCE-timed: t(2N-chain) - t(N-chain) cancels every
+    # fixed cost (dispatch, fetch, launch).
+    def timed_jit_chain(make_fn, *args, iters):
+        """make_fn(n) -> fn(*args) returning a scalar after n iterations."""
+        f1 = jax.jit(make_fn(iters))
+        f2 = jax.jit(make_fn(2 * iters))
+        float(f1(*args))
+        float(f2(*args))
+        b1 = b2 = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            float(f1(*args))
+            b1 = min(b1, time.time() - t0)
+            t0 = time.time()
+            float(f2(*args))
+            b2 = min(b2, time.time() - t0)
+        return (b2 - b1) / iters
+
+    # --- measured HBM roofline (replaces any assumed speed-of-light
+    # constant: the chip behind the tunnel varies) ---
+    CHAIN = 50
+    nelems = 256 * 1024 * 1024 // 4
+    xr = jnp.arange(nelems, dtype=jnp.float32)
+
+    def make_roof(nit):
+        return lambda a: jax.lax.fori_loop(
+            0, nit, lambda i, v: v + 1.0, a)[0]
+
+    dt = timed_jit_chain(make_roof, xr, iters=CHAIN)
+    sol_gbs = 2.0 * nelems * 4 / dt / 1e9    # read + write per iteration
+    del xr
+    print(f"measured HBM roofline (f32 axpy chain, read+write): "
+          f"{sol_gbs:.0f} GB/s", file=sys.stderr)
+
     # --- SEM operator microbench (hot-kernel roofline) ---
-    dev = jax.devices()[0]
-    sol_gbs = 819.0 if dev.platform in ("tpu", "axon") else 100.0
-    au = dom.apply_operator(u)
-    au.block_until_ready()
-    iters = 50
-    t0 = time.time()
-    for _ in range(iters):
-        au = dom.apply_operator(au)
-    au.block_until_ready()
-    dt = (time.time() - t0) / iters
+    def make_op(nit):
+        def op_chain(arrays, v):
+            operator = dom._ops(arrays)[0]
+            out = jax.lax.fori_loop(0, nit, lambda i, w: operator(w), v)
+            return out.ravel()[0]
+        return op_chain
+
+    dt = timed_jit_chain(make_op, dom.arrays, u, iters=CHAIN)
     npts = mesh.num_points
     bytes_moved = npts * 4 * (1 + 6 + 1)  # u + 6 geom + Au, f32
     n = N + 1
     flops = mesh.num_elements * (n ** 3) * (4 * 3 * n + 2 * 9)
-    print(f"operator: {dt*1e6:.0f}us/apply  {bytes_moved/dt/1e9:.0f} GB/s "
-          f"(SoL {sol_gbs:.0f})  {flops/dt/1e12:.2f} TFLOP/s",
-          file=sys.stderr)
+    op_gbs = bytes_moved / dt / 1e9
+    print(f"operator: {dt*1e6:.0f}us/apply  {op_gbs:.0f} GB/s "
+          f"({100 * op_gbs / sol_gbs:.0f}% of measured SoL)  "
+          f"{flops/dt/1e12:.2f} TFLOP/s", file=sys.stderr)
 
     # --- production preconditioned solve (headline) ---
     t0 = time.time()
@@ -102,7 +143,13 @@ def main():
         t0 = time.time()
         res = solve(f)
         float(res.u.sum())
-        best = min(best, time.time() - t0)
+        total = time.time() - t0
+        # subtract the dispatch+fetch overhead (res.u is already
+        # materialized, so this times only the sum-kernel + tunnel RTT)
+        t0 = time.time()
+        float(res.u.sum())
+        overhead = time.time() - t0
+        best = min(best, total - overhead)
     its = int(res.iterations)
     conv = bool(res.converged)
     hist = np.asarray(res.residual_history)
@@ -111,12 +158,43 @@ def main():
           file=sys.stderr)
     print("history:", hist[np.isfinite(hist)][:8], file=sys.stderr)
 
+    # --- double-precision production accuracy (domain.hpp:118 criterion:
+    # relative residual < 1e-7 in double): f32 solver wrapped in f64
+    # iterative refinement (solvers/refine.py) ---
+    refined = {}
+    try:
+        from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.solvers.domain import Domain as _D
+        from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.solvers.refine import refine_solve
+        dom64 = _D(sd, dtype=jnp.float64)
+        u_star64 = dom64.to_device_field(dom.from_device_field(u_star))
+        f64 = dom64.manufacture_rhs(u_star64)
+        t0 = time.time()
+        rr = refine_solve(dom64, solve, f64, tolerance=1e-7)
+        t_ref = time.time() - t0
+        err64 = float(np.abs(dom64.from_device_field(rr.u)
+                             - dom64.from_device_field(u_star64)).max())
+        refined = {
+            "refined_rel_residual": float(rr.rel_residual),
+            "refined_max_error": err64,
+            "refined_cycles": rr.cycles,
+            "refined_seconds": round(t_ref, 3),
+        }
+        print(f"f64 refinement: rel_res={rr.rel_residual:.2e}  "
+              f"max|u-u*|={err64:.2e}  cycles={rr.cycles}  "
+              f"inner_iters={rr.inner_iterations}  {t_ref:.2f}s "
+              f"(incl compile)", file=sys.stderr)
+    except Exception as e:  # pragma: no cover - f64 support varies
+        print(f"f64 refinement unavailable: {e!r}", file=sys.stderr)
+
     target_seconds = 1.0
     print(json.dumps({
         "metric": "production_solve_seconds",
         "value": round(best, 4),
         "unit": "s",
         "vs_baseline": round(target_seconds / best, 3),
+        "iterations": its,
+        "measured_hbm_gbs": round(sol_gbs, 1),
+        **refined,
     }))
     return 0 if conv else 1
 

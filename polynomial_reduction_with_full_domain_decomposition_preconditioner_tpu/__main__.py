@@ -7,10 +7,14 @@
 import sys
 
 from .runtime.config import Config
+from .runtime.distributed import initialize_multihost
 from .runtime.driver import run_simulation
 
 
 def main(argv=None):
+    # multi-host bootstrap (no-op unless PRFDD_COORDINATOR is set); must
+    # run before any JAX use (the reference's MPI_Init, poisson.cpp:84-89)
+    initialize_multihost()
     cfg = Config.from_args(sys.argv[1:] if argv is None else argv)
     result = run_simulation(cfg)
     return 0 if result["converged"] else 1

@@ -72,15 +72,16 @@ class StructuredInfo:
 class ShardedDomain:
     """Per-shard stacked arrays describing a partitioned SEM problem.
 
-    Shapes use P = num_shards, E = padded elements/shard, npe = points per
-    element, NN = padded local nodes/shard (+1 trash slot at index NN),
-    B = padded boundary nodes/shard, BG = global interface nodes
-    (+1 trash slot at index BG).
+    Shapes use P = len(owned) (the shards THIS process materializes —
+    all of them in single-process runs), E = padded elements/shard,
+    npe = points per element, NN = padded local nodes/shard (+1 trash
+    slot at index NN), B = padded boundary nodes/shard, BG = global
+    interface nodes (+1 trash slot at index BG).
     """
 
     dim: int
     poly_degree: int
-    num_shards: int
+    num_shards: int                  # GLOBAL shard count
     num_total_elements: int          # real (unpadded) element count
     num_global_nodes: int
 
@@ -102,6 +103,10 @@ class ShardedDomain:
     num_boundary_global: int         # BG
 
     structured: "StructuredInfo | None" = None
+    owned: tuple[int, ...] = ()      # global shard indices materialized here
+    elem_offsets: tuple[int, ...] = ()  # global element offset per shard
+    #   (all num_shards + 1 entries — needed for partition-invariant
+    #   global orderings even when only a slice of shards is owned)
 
     @property
     def num_points_per_elem(self) -> int:
@@ -117,16 +122,23 @@ class ShardedDomain:
 
 
 def partition_mesh(mesh: GlobalMesh, num_shards: int,
-                   structured: bool | str = "auto") -> ShardedDomain:
+                   structured: bool | str = "auto",
+                   owned=None) -> ShardedDomain:
     """Partition a GlobalMesh into num_shards SPMD shards.
 
     structured: True/"auto" aligns shard boundaries to slabs of the last
     element-grid dimension, enabling the dense tensor-stencil dssum; False
     forces the generic (unstructured) contiguous split.
+
+    owned: global shard indices to MATERIALIZE host arrays for (default
+    all). In a multi-host run every process passes its own contiguous
+    slice — the reference's per-rank mesh files (domain.tpp:45): setup
+    memory stays O(local), only the cheap global index pass is shared.
     """
     E_tot = mesh.num_elements
     npe = mesh.num_points_per_elem
     P = num_shards
+    owned = tuple(range(P)) if owned is None else tuple(owned)
 
     use_structured = (structured is True or structured == "auto") \
         and getattr(mesh, "structured_layout", True)
@@ -155,71 +167,66 @@ def partition_mesh(mesh: GlobalMesh, num_shards: int,
         # likewise a static partition of the element list, domain.tpp:45)
         bounds = np.linspace(0, E_tot, P + 1).astype(np.int64)
 
-    # which shards touch each global node -> interface nodes
+    # which shards touch each global node -> interface nodes. This pass is
+    # O(global) but index-only; it runs on every process (the reference
+    # likewise derives boundary nodes from global node degrees,
+    # domain.tpp:253-267).
     N_glob = mesh.num_nodes
     touched = np.zeros((N_glob,), dtype=np.int64)
-    first_shard = np.full((N_glob,), -1, dtype=np.int64)
+    nn_sizes, b_sizes = [], []
     for p in range(P):
         sel = mesh.glo_num[bounds[p]:bounds[p + 1]].ravel()
         uniq = np.unique(sel)
         touched[uniq] += 1
-        first_shard[uniq] = np.where(first_shard[uniq] < 0, p, first_shard[uniq])
+        nn_sizes.append(uniq.size)
     interface = np.flatnonzero(touched > 1)
     BG = interface.size
     iface_index = np.full((N_glob,), -1, dtype=np.int64)
     iface_index[interface] = np.arange(BG)
+    # max interface nodes per shard (global max for static shapes)
+    for p in range(P):
+        sel = mesh.glo_num[bounds[p]:bounds[p + 1]].ravel()
+        b_sizes.append(int((iface_index[np.unique(sel)] >= 0).sum()))
 
     degree_global = np.bincount(mesh.glo_num.ravel(), minlength=N_glob)
+    NN = max(nn_sizes)
+    B = max(max(b_sizes, default=0), 1)
 
-    geom = np.zeros((P, E, npe, mesh.num_geom))
-    mass_arr = np.zeros((P, E, npe))
-    coords = np.zeros((P, E, npe, mesh.dim))
-    mask = np.zeros((P, E * npe))
-    glo = np.full((P, E, npe), -1, dtype=np.int64)
-    valid = np.zeros((P, E), dtype=bool)
-    inv_deg_pts = np.zeros((P, E * npe))
+    Pl = len(owned)
+    geom = np.zeros((Pl, E, npe, mesh.num_geom))
+    mass_arr = np.zeros((Pl, E, npe))
+    coords = np.zeros((Pl, E, npe, mesh.dim))
+    mask = np.zeros((Pl, E * npe))
+    glo = np.full((Pl, E, npe), -1, dtype=np.int64)
+    valid = np.zeros((Pl, E), dtype=bool)
+    inv_deg_pts = np.zeros((Pl, E * npe))
+    gather_ids = np.full((Pl, E * npe), NN, dtype=np.int32)
+    node_valid = np.zeros((Pl, NN + 1))
+    inv_degree = np.zeros((Pl, NN + 1))
+    bnode_local = np.full((Pl, B), NN, dtype=np.int32)
+    bnode_global = np.full((Pl, B), BG, dtype=np.int32)
 
-    gather_list, bl_list, bg_list, nn_sizes = [], [], [], []
-
-    for p in range(P):
+    for k, p in enumerate(owned):
         lo, hi = bounds[p], bounds[p + 1]
         ne = hi - lo
-        geom[p, :ne] = mesh.geom[lo:hi]
-        mass_arr[p, :ne] = mesh.mass[lo:hi]
-        coords[p, :ne] = mesh.coords[lo:hi]
-        mask[p, :ne * npe] = mesh.dirichlet_mask[lo:hi].ravel()
-        glo[p, :ne] = mesh.glo_num[lo:hi]
-        valid[p, :ne] = True
-        inv_deg_pts[p, :ne * npe] = 1.0 / mesh.node_degree[lo:hi].ravel()
+        geom[k, :ne] = mesh.geom[lo:hi]
+        mass_arr[k, :ne] = mesh.mass[lo:hi]
+        coords[k, :ne] = mesh.coords[lo:hi]
+        mask[k, :ne * npe] = mesh.dirichlet_mask[lo:hi].ravel()
+        glo[k, :ne] = mesh.glo_num[lo:hi]
+        valid[k, :ne] = True
+        inv_deg_pts[k, :ne * npe] = 1.0 / mesh.node_degree[lo:hi].ravel()
 
         gids = mesh.glo_num[lo:hi].ravel()
         uniq, inv = np.unique(gids, return_inverse=True)
-        nn_sizes.append(uniq.size)
-        gather_list.append((uniq, inv))
-
+        gather_ids[k, :inv.size] = inv.astype(np.int32)
+        node_valid[k, :uniq.size] = 1.0
+        inv_degree[k, :uniq.size] = 1.0 / degree_global[uniq]
         is_iface = iface_index[uniq] >= 0
-        bl_list.append(np.flatnonzero(is_iface).astype(np.int32))
-        bg_list.append(iface_index[uniq[is_iface]].astype(np.int32))
-
-    NN = max(nn_sizes)
-    B = max((b.size for b in bl_list), default=0)
-    B = max(B, 1)  # keep nonzero shapes
-
-    gather_ids = np.full((P, E * npe), NN, dtype=np.int32)
-    node_valid = np.zeros((P, NN + 1))
-    inv_degree = np.zeros((P, NN + 1))
-    bnode_local = np.full((P, B), NN, dtype=np.int32)
-    bnode_global = np.full((P, B), BG, dtype=np.int32)
-
-    for p in range(P):
-        uniq, inv = gather_list[p]
-        npts = inv.size
-        gather_ids[p, :npts] = inv.astype(np.int32)
-        node_valid[p, :uniq.size] = 1.0
-        inv_degree[p, :uniq.size] = 1.0 / degree_global[uniq]
-        nb = bl_list[p].size
-        bnode_local[p, :nb] = bl_list[p]
-        bnode_global[p, :nb] = bg_list[p]
+        bl = np.flatnonzero(is_iface).astype(np.int32)
+        bnode_local[k, :bl.size] = bl
+        bnode_global[k, :bl.size] = iface_index[uniq[is_iface]].astype(
+            np.int32)
 
     return ShardedDomain(
         dim=mesh.dim,
@@ -242,4 +249,6 @@ def partition_mesh(mesh: GlobalMesh, num_shards: int,
         bnode_global=bnode_global,
         num_boundary_global=BG,
         structured=sinfo,
+        owned=owned,
+        elem_offsets=tuple(int(b) for b in bounds),
     )

@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from functools import partial
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -32,10 +34,13 @@ __all__ = ["lattice_face_sum_3d"]
 
 def _masks_1d(M: int, n: int, gstart, length, axis_dim, shape, dtype):
     """hi/lo masks along one axis as broadcastable arrays, built from a
-    global iota (gstart + local index)."""
-    idx = jax.lax.broadcasted_iota(jnp.int32, shape, axis_dim) + gstart
-    hi = ((idx % n == n - 1) & (idx != M - 1)).astype(dtype)
-    lo = ((idx % n == 0) & (idx != 0)).astype(dtype)
+    global iota (gstart + local index). Constants are explicit int32:
+    weak-typed Python ints recurse in the Pallas tracer under x64."""
+    i32 = jnp.int32
+    idx = jax.lax.broadcasted_iota(i32, shape, axis_dim) \
+        + jnp.asarray(gstart, i32)
+    hi = ((idx % i32(n) == i32(n - 1)) & (idx != i32(M - 1))).astype(dtype)
+    lo = ((idx % i32(n) == i32(0)) & (idx != i32(0))).astype(dtype)
     return hi, lo
 
 
@@ -50,11 +55,16 @@ def _face_sum_kernel(u_ref, prev_ref, next_ref, out_ref, *, n, mz, cz):
     _, my, mx = U.shape
 
     def xy_sum(V):
-        # pltpu.roll requires non-negative shifts: roll(-1) == roll(M-1)
+        # pltpu.roll requires non-negative shifts: roll(-1) == roll(M-1);
+        # shifts must be explicit int32 (tpu.dynamic_rotate rejects the
+        # i64 literals x64 mode would produce)
+        i32 = jnp.int32
         hix, lox = _masks_1d(mx, n, 0, mx, 2, V.shape, dtype)
-        V = V + hix * pltpu.roll(V, mx - 1, 2) + lox * pltpu.roll(V, 1, 2)
+        V = (V + hix * pltpu.roll(V, i32(mx - 1), 2)
+             + lox * pltpu.roll(V, i32(1), 2))
         hiy, loy = _masks_1d(my, n, 0, my, 1, V.shape, dtype)
-        V = V + hiy * pltpu.roll(V, my - 1, 1) + loy * pltpu.roll(V, 1, 1)
+        V = (V + hiy * pltpu.roll(V, i32(my - 1), 1)
+             + loy * pltpu.roll(V, i32(1), 1))
         return V
 
     W = xy_sum(U)
@@ -82,22 +92,29 @@ def lattice_face_sum_3d(U, n: int):
             cz = d
     grid = (mz // cz,)
 
+    # index maps must return int32 everywhere, including the constant
+    # components (x64 mode weak-promotes Python ints and arithmetic to
+    # i64, which Mosaic rejects at func.return)
+    z0 = np.int32(0)   # numpy scalar: index maps may not capture tracers
+
+    def main_idx(c):
+        return (c.astype(np.int32), z0, z0)
+
     def prev_idx(c):
-        return (jnp.maximum(c * cz - 1, 0), 0, 0)
+        return (jnp.maximum(c * cz - 1, 0).astype(np.int32), z0, z0)
 
     def next_idx(c):
-        return (jnp.minimum((c + 1) * cz, mz - 1), 0, 0)
+        return (jnp.minimum((c + 1) * cz, mz - 1).astype(np.int32), z0, z0)
 
     return pl.pallas_call(
         partial(_face_sum_kernel, n=n, mz=mz, cz=cz),
         out_shape=jax.ShapeDtypeStruct(U.shape, U.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((cz, my, mx), lambda c: (c, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cz, my, mx), main_idx, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, my, mx), prev_idx, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, my, mx), next_idx, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((cz, my, mx), lambda c: (c, 0, 0),
+        out_specs=pl.BlockSpec((cz, my, mx), main_idx,
                                memory_space=pltpu.VMEM),
     )(U, U, U)

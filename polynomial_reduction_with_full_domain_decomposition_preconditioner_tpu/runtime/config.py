@@ -43,6 +43,10 @@ class Config:
     num_vectors: int = 20              # GMRES restart length
     max_iterations: int = 500
     tolerance: float | None = None     # None -> 1e-7 f64 / 1e-4 f32
+    refine_tolerance: float | None = None  # f64 iterative-refinement
+    #   target (the reference's double-precision production criterion,
+    #   domain.hpp:118: relative residual < 1e-7); wraps the stype solver
+    #   in float64 refinement cycles (solvers/refine.py)
 
     # ---- preconditioner (subdomain.hpp:228-238) ----
     preconditioner: str = "composite"  # composite | pmultigrid | jacobi |
@@ -119,6 +123,8 @@ class Config:
         p.add_argument("--num-vectors", type=int, default=d.num_vectors)
         p.add_argument("--max-iterations", type=int, default=d.max_iterations)
         p.add_argument("--tolerance", type=float, default=None)
+        p.add_argument("--refine-tolerance", type=float, default=None,
+                       help="f64 iterative-refinement target (e.g. 1e-7)")
         p.add_argument("--preconditioner", default=d.preconditioner,
                        choices=["composite", "pmultigrid", "jacobi", "none"])
         p.add_argument("--inner", default=d.inner,
@@ -146,7 +152,8 @@ class Config:
             superdomain_overlap=a.superdomain_overlap,
             stype=a.stype, ptype=a.ptype, solver=a.solver,
             num_vectors=a.num_vectors, max_iterations=a.max_iterations,
-            tolerance=a.tolerance, preconditioner=a.preconditioner,
+            tolerance=a.tolerance, refine_tolerance=a.refine_tolerance,
+            preconditioner=a.preconditioner,
             inner=a.inner, inner_iterations=a.inner_iterations,
             num_vcycles=a.num_vcycles, cheby_order=a.cheby_order,
             max_coarse=a.max_coarse,

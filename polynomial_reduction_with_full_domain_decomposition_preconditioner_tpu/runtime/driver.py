@@ -34,7 +34,12 @@ def _build_domain(cfg: Config, device_mesh=None):
         base = builder
         builder = lambda o: mg.scramble_mesh(base(o), seed=cfg.scramble)
     mesh = builder(cfg.poly_degree)
-    sd = partition_mesh(mesh, cfg.num_shards)
+    import jax
+    owned = None
+    if jax.process_count() > 1:
+        from .distributed import owned_shards
+        owned = owned_shards(cfg.num_shards)
+    sd = partition_mesh(mesh, cfg.num_shards, owned=owned)
     dom = Domain(sd, dtype=cfg.stype_dtype(), device_mesh=device_mesh)
     return dom, builder, mesh
 
@@ -122,6 +127,31 @@ def run_simulation(cfg: Config, out=sys.stdout) -> dict:
                        - dom.from_device_field(u_star)).max())
     print(f"converged: {bool(res.converged)}  iterations: {iters}  "
           f"max|u - u*|: {err:.3e}", file=out)
+
+    refined = {}
+    if cfg.refine_tolerance is not None:
+        # f64 iterative refinement on top of the stype solver (the
+        # reference's double-precision criterion, domain.hpp:118)
+        from ..solvers.domain import Domain
+        from ..solvers.refine import refine_solve
+        with timer("solve.refine"):
+            dom64 = Domain(dom.sharded, dtype=jax.numpy.float64,
+                           device_mesh=device_mesh)
+            u_star64 = dom64.to_device_field(dom.from_device_field(u_star))
+            f64 = dom64.manufacture_rhs(u_star64)
+            rr = refine_solve(dom64, solve, f64,
+                              tolerance=cfg.refine_tolerance)
+        err64 = float(np.abs(dom64.from_device_field(rr.u)
+                             - dom64.from_device_field(u_star64)).max())
+        print(f"f64 refinement: rel_res={rr.rel_residual:.3e}  cycles="
+              f"{rr.cycles}  inner_iterations={rr.inner_iterations}  "
+              f"max|u - u*|: {err64:.3e}  converged: {rr.converged}",
+              file=out)
+        refined = {"refined_rel_residual": rr.rel_residual,
+                   "refined_cycles": rr.cycles,
+                   "refined_max_error": err64,
+                   "refined_converged": rr.converged}
+
     print(timer.report(), file=out)
 
     if cfg.output:
@@ -142,4 +172,5 @@ def run_simulation(cfg: Config, out=sys.stdout) -> dict:
         "max_error": err,
         "solve_seconds": timer.total("solve.run"),
         "timers": timer.as_dict(),
+        **refined,
     }

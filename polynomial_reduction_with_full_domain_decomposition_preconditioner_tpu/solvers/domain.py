@@ -88,6 +88,9 @@ class Domain:
         self.device_mesh = device_mesh
         self.axis_name = axis_name if device_mesh is not None else None
         self.spmd = device_mesh is not None
+        self.multiprocess = jax.process_count() > 1
+        self.num_owned = len(sharded.owned) if sharded.owned \
+            else sharded.num_shards
 
         if self.spmd:
             sizes = dict(zip(device_mesh.axis_names, device_mesh.devices.shape))
@@ -104,23 +107,24 @@ class Domain:
         # (see ops/gather_scatter.structured_dssum): convert the per-shard
         # element-ordered setup arrays once on the host.
         n = sharded.poly_degree + 1
+        n_own = self.num_owned
         if sharded.structured is not None:
             grid = sharded.structured.local_grid()
             self.local_grid = grid
             self.lattice_shape = tuple(g * n for g in grid)
 
             geom = np.stack([self._host_elem_to_lattice(sharded.geom[p])
-                             for p in range(sharded.num_shards)])
+                             for p in range(n_own)])
             mask = np.stack([self._host_elem_to_lattice(
                 sharded.dirichlet_mask[p]).reshape(-1)
-                for p in range(sharded.num_shards)])
+                for p in range(n_own)])
             invd = np.stack([self._host_elem_to_lattice(
                 sharded.inv_degree_pts[p]).reshape(-1)
-                for p in range(sharded.num_shards)])
+                for p in range(n_own)])
         else:
             self.local_grid = None
             self.lattice_shape = None
-            geom = sharded.geom.reshape(sharded.num_shards, -1,
+            geom = sharded.geom.reshape(n_own, -1,
                                         sharded.num_points_per_elem,
                                         sharded.geom.shape[-1])
             mask = sharded.dirichlet_mask
@@ -128,31 +132,30 @@ class Domain:
 
         if sharded.structured is not None:
             layer_counts = np.asarray(sharded.structured.layer_counts,
-                                      dtype=np.int32)
+                                      dtype=np.int32)[list(sharded.owned)]
             self.ragged = sharded.structured.ragged
         else:
-            layer_counts = np.zeros((sharded.num_shards,), dtype=np.int32)
+            layer_counts = np.zeros((n_own,), dtype=np.int32)
             self.ragged = False
 
         arrays = DomainArrays(
-            geom=jnp.asarray(geom, dtype=dtype),
-            mask=jnp.asarray(mask, dtype=dtype),
-            gather_ids=jnp.asarray(sharded.gather_ids),
-            inv_degree=jnp.asarray(sharded.inv_degree, dtype=dtype),
-            inv_degree_pts=jnp.asarray(invd, dtype=dtype),
-            bnode_local=jnp.asarray(sharded.bnode_local),
-            bnode_global=jnp.asarray(sharded.bnode_global),
-            D=jnp.asarray(D),
-            layers=jnp.asarray(layer_counts),
+            geom=np.asarray(geom, dtype=dtype),
+            mask=np.asarray(mask, dtype=dtype),
+            gather_ids=sharded.gather_ids,
+            inv_degree=np.asarray(sharded.inv_degree, dtype=dtype),
+            inv_degree_pts=np.asarray(invd, dtype=dtype),
+            bnode_local=sharded.bnode_local,
+            bnode_global=sharded.bnode_global,
+            D=np.asarray(D),
+            layers=layer_counts,
         )
         if self.spmd:
             spec = _specs(axis_name)
             arrays = jax.tree.map(
-                lambda x, s: jax.device_put(
-                    x, jax.sharding.NamedSharding(device_mesh, s)),
-                arrays, spec)
+                lambda x, s: self._put(x, s), arrays, spec,
+                is_leaf=lambda s: isinstance(s, P))
         else:
-            arrays = _squeeze_shard(arrays)
+            arrays = jax.tree.map(jnp.asarray, _squeeze_shard(arrays))
         self.arrays = arrays
 
         # point-space field sharding (P, E*npe) or (E*npe,)
@@ -161,6 +164,31 @@ class Domain:
                 device_mesh, P(axis_name))
         else:
             self.field_sharding = None
+
+    def _put(self, x, spec):
+        """Place a host array on the device mesh: multi-process runs build
+        a global jax.Array from each process's local shard slice (the
+        per-rank setup of the reference, domain.tpp:45 — no process ever
+        materializes another's shards)."""
+        x = np.asarray(x)
+        sh = jax.sharding.NamedSharding(self.device_mesh, spec)
+        if spec == P(self.axis_name) and self.multiprocess:
+            gshape = (self.sharded.num_shards,) + x.shape[1:]
+            return jax.make_array_from_process_local_data(sh, x, gshape)
+        return jax.device_put(x, sh)
+
+    def shard_put(self, stacked, dtype=None):
+        """Per-shard setup array (leading axis = owned shards) -> device
+        array for the solve: squeezed single-device, stacked single-
+        process SPMD, or a global multi-process jax.Array."""
+        x = np.asarray(stacked)
+        if dtype is not None:
+            x = x.astype(dtype)
+        if not self.spmd:
+            return jnp.asarray(x[0])
+        if self.multiprocess:
+            return self._put(x, P(self.axis_name))
+        return jnp.asarray(x)
 
     # ---- layout conversion (host, numpy) ----
 
@@ -324,32 +352,36 @@ class Domain:
     # ---- fields and manufactured solutions ----
 
     def points_shape(self):
+        """Host-field shape for this process: (owned shards, points)."""
         st = self.sharded
         if self.spmd:
-            return (st.num_shards, st.points_per_shard)
+            return (self.num_owned, st.points_per_shard)
         return (st.points_per_shard,)
 
     def to_device_field(self, host_field: np.ndarray):
-        """Element-ordered host values -> device field (lattice layout for
-        structured domains). Pad-element points are zeroed: device fields
+        """Element-ordered host values (owned shards) -> device field
+        (lattice layout for structured domains; a global jax.Array in
+        multi-process runs). Pad-element points are zeroed: device fields
         must be zero at padding (the face sum would otherwise leak pad
         values into real planes on ragged partitions)."""
-        P = self.sharded.num_shards
-        vals = np.asarray(host_field).reshape(P, -1).copy()
+        vals = np.asarray(host_field).reshape(self.num_owned, -1).copy()
         npe = self.sharded.num_points_per_elem
         vals[~np.repeat(self.sharded.elem_valid, npe, axis=1)] = 0.0
         if self.sharded.structured is not None:
             vals = np.stack([self._host_elem_to_lattice(v).reshape(-1)
                              for v in vals])
-        x = jnp.asarray(vals.reshape(self.points_shape()), dtype=self.dtype)
-        if self.spmd:
-            x = jax.device_put(x, self.field_sharding)
-        return x
+        return self.shard_put(vals, dtype=self.dtype)
 
     def from_device_field(self, u) -> np.ndarray:
-        """Device field -> element-ordered host values, shape (P, E*npe)."""
-        P = self.sharded.num_shards
-        vals = np.asarray(u).reshape(P, -1)
+        """Device field -> element-ordered host values for the OWNED
+        shards, shape (len(owned), E*npe)."""
+        if self.multiprocess:
+            shards = sorted(u.addressable_shards,
+                            key=lambda s: s.index[0].start or 0)
+            vals = np.concatenate([np.asarray(s.data) for s in shards],
+                                  axis=0).reshape(self.num_owned, -1)
+        else:
+            vals = np.asarray(u).reshape(self.num_owned, -1)
         if self.sharded.structured is not None:
             vals = np.stack([self._host_lattice_to_elem(
                 v.reshape(self.lattice_shape)) for v in vals])
@@ -387,21 +419,50 @@ class Domain:
 
         return self._jit_pointwise("operator", run)(self.arrays, u)
 
+    def residual(self, u, f):
+        """(r, ||r||): non-assembled residual and its assembled norm
+        sqrt(<r, QQt r>) — the solvers' convergence metric
+        (domain.tpp:916-931). Jitted and cached; used by the
+        iterative-refinement wrapper and observability tooling."""
+        def run_local(arrays, u, f):
+            operator, dssum, dot, _ = self._ops(arrays)
+            r = f - operator(u)
+            rn = jnp.sqrt(jnp.maximum(
+                dot(r, dssum(r, apply_mask=True, apply_weight=False)), 0.0))
+            return r, rn
+
+        cache = self.__dict__.setdefault("_fn_cache", {})
+        if "residual" not in cache:
+            if self.spmd:
+                ax = self.axis_name
+
+                def fn(a, u, f):
+                    r, rn = run_local(_squeeze_shard(a), u[0], f[0])
+                    return r[None], rn
+
+                out_specs = (P(ax), P())
+                cache["residual"] = jax.jit(jax.shard_map(
+                    fn, mesh=self.device_mesh,
+                    in_specs=(_specs(ax), P(ax), P(ax)),
+                    out_specs=out_specs))
+            else:
+                cache["residual"] = jax.jit(run_local)
+        return cache["residual"](self.arrays, u, f)
+
     def _global_random_points(self, seed: int) -> np.ndarray:
         """Random values drawn in GLOBAL element order and scattered into
         the padded per-shard layout (zeros at pads) — the field must be
-        partition-invariant, and pad elements interleaved between shards
-        would otherwise shift the stream."""
+        partition-invariant (and process-invariant in multi-host runs),
+        and pad elements interleaved between shards would otherwise shift
+        the stream."""
         st = self.sharded
         npe = st.num_points_per_elem
         rng = np.random.default_rng(seed)
         flat = rng.random(st.num_total_elements * npe)
-        out = np.zeros((st.num_shards, st.elems_per_shard * npe))
-        k = 0
-        for p in range(st.num_shards):
-            ne = int(st.elem_valid[p].sum())
-            out[p, :ne * npe] = flat[k:k + ne * npe]
-            k += ne * npe
+        out = np.zeros((self.num_owned, st.elems_per_shard * npe))
+        for k, p in enumerate(st.owned):
+            lo, hi = st.elem_offsets[p], st.elem_offsets[p + 1]
+            out[k, :(hi - lo) * npe] = flat[lo * npe:hi * npe]
         return out.reshape(-1)
 
     def initial_function(self, function_id: int = 0, seed: int = 0):
@@ -432,7 +493,7 @@ class Domain:
             vals = self._global_random_points(seed)
         else:
             raise ValueError(f"unknown function id {function_id}")
-        u = self.to_device_field(vals.reshape(st.num_shards, -1))
+        u = self.to_device_field(vals.reshape(self.num_owned, -1))
         return self.dssum_field(u, apply_mask=True, apply_weight=True)
 
     def manufacture_rhs(self, u_star):

@@ -83,7 +83,8 @@ def _level_arrays(domain, orders, mesh_builder):
     levels = []
     for N_c in orders:
         mesh_c = mesh_builder(N_c)
-        sd = partition_mesh(mesh_c, sd_f.num_shards, structured=True)
+        sd = partition_mesh(mesh_c, sd_f.num_shards, structured=True,
+                            owned=sd_f.owned)
         n_c = N_c + 1
 
         from ..mesh.layout import elements_to_lattice
@@ -91,27 +92,18 @@ def _level_arrays(domain, orders, mesh_builder):
         def to_lat(arr_p):
             return elements_to_lattice(arr_p, grid, n_c, dim)
 
-        P_shards = sd.num_shards
-        geom = np.stack([to_lat(sd.geom[p]) for p in range(P_shards)])
+        n_own = len(sd.owned)
+        geom = np.stack([to_lat(sd.geom[p]) for p in range(n_own)])
         mask = np.stack([to_lat(sd.dirichlet_mask[p]).reshape(-1)
-                         for p in range(P_shards)])
+                         for p in range(n_own)])
         invd = np.stack([to_lat(sd.inv_degree_pts[p]).reshape(-1)
-                         for p in range(P_shards)])
-        sq = (lambda x: x) if domain.spmd else (lambda x: x[0])
-        lvl = {
-            "geom": jnp.asarray(sq(geom), dtype=domain.dtype),
-            "mask": jnp.asarray(sq(mask), dtype=domain.dtype),
-            "inv_degree_pts": jnp.asarray(sq(invd), dtype=domain.dtype),
+                         for p in range(n_own)])
+        levels.append({
+            "geom": domain.shard_put(geom, dtype=domain.dtype),
+            "mask": domain.shard_put(mask, dtype=domain.dtype),
+            "inv_degree_pts": domain.shard_put(invd, dtype=domain.dtype),
             "D": jnp.asarray(diff_matrix(n_c), dtype=domain.dtype),
-        }
-        if domain.spmd:
-            spec = {"geom": P(domain.axis_name), "mask": P(domain.axis_name),
-                    "inv_degree_pts": P(domain.axis_name), "D": P()}
-            lvl = jax.tree.map(
-                lambda s, x: jax.device_put(
-                    x, jax.sharding.NamedSharding(domain.device_mesh, s)),
-                spec, lvl, is_leaf=lambda s: isinstance(s, P))
-        levels.append(lvl)
+        })
     return levels
 
 

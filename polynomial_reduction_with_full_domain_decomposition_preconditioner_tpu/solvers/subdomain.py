@@ -395,14 +395,17 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
         return ([(b + off + k) % m_last for k in range(real)]
                 + [-1] * (g.layers - real))
 
-    # per-shard physical layer maps and interface adjacency: interface
-    # gi -> gi+1 is physical unless it sits on the global z boundary
-    phys_lists = [[group_phys(g, gi, p) for gi, g in enumerate(groups)]
-                  for p in range(Pn)]
-    adj = np.zeros((Pn, G))
-    for p in range(Pn):
+    # per-shard physical layer maps and interface adjacency (OWNED shards
+    # only: a multi-host process never materializes another's host data —
+    # the reference's per-rank setup, domain.tpp:45); interface gi -> gi+1
+    # is physical unless it sits on the global z boundary
+    shard_list = list(sd.owned)
+    phys_lists = {p: [group_phys(g, gi, p) for gi, g in enumerate(groups)]
+                  for p in shard_list}
+    adj = np.zeros((len(shard_list), G))
+    for k, p in enumerate(shard_list):
         for gi in range(G):
-            adj[p, gi] = 0.0 if phys_lists[p][(gi + 1) % G][0] == 0 else 1.0
+            adj[k, gi] = 0.0 if phys_lists[p][(gi + 1) % G][0] == 0 else 1.0
 
     # per-shard, per-group device data
     group_data = []   # list over groups of dicts with (P, ...) arrays
@@ -411,7 +414,7 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
         n_o = o + 1
         mesh_o = mesh_far if g.zcoarse > 1 else mesh_by_order[o]
         geom_list, mask_list, wt_list = [], [], []
-        for p in range(Pn):
+        for p in shard_list:
             phys = phys_lists[p][gi]
             if g.zcoarse > 1:
                 # the far mesh is z-merged: fine start index -> coarse
@@ -423,11 +426,10 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
             wt_list.append(layer_slice(
                 mesh_o, phys,
                 (1.0 / mesh_o.node_degree.astype(np.float64))[..., None])[..., 0])
-        sq = (lambda x: x) if domain.spmd else (lambda x: x[0])
         group_data.append({
-            "geom": jnp.asarray(sq(np.stack(geom_list)), dtype=dtype),
-            "mask": jnp.asarray(sq(np.stack(mask_list)), dtype=dtype),
-            "weight": jnp.asarray(sq(np.stack(wt_list)), dtype=dtype),
+            "geom": domain.shard_put(np.stack(geom_list), dtype=dtype),
+            "mask": domain.shard_put(np.stack(mask_list), dtype=dtype),
+            "weight": domain.shard_put(np.stack(wt_list), dtype=dtype),
             "D": jnp.asarray(diff_matrix(n_o), dtype=dtype),
         })
 
@@ -447,7 +449,7 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
 
     extra = {
         "groups": group_data,
-        "adj": jnp.asarray(adj if domain.spmd else adj[0], dtype=dtype),
+        "adj": domain.shard_put(adj, dtype=dtype),
         "J": Jmats,
         "Jlvl": Jlvl,
     }
@@ -458,10 +460,13 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
         # slices the (P,) arrays to per-shard scalars): real own layers,
         # real far layers, first physical layer
         extra["rg"] = {
-            "s": jnp.asarray(np.asarray(counts, dtype=np.int32)),
-            "far": jnp.asarray(np.asarray(
-                [m_last - c - 2 * V * L for c in counts], dtype=np.int32)),
-            "base": jnp.asarray(np.asarray(bases, dtype=np.int32)),
+            "s": domain.shard_put(np.asarray(
+                [counts[p] for p in shard_list], dtype=np.int32)),
+            "far": domain.shard_put(np.asarray(
+                [m_last - counts[p] - 2 * V * L for p in shard_list],
+                dtype=np.int32)),
+            "base": domain.shard_put(np.asarray(
+                [bases[p] for p in shard_list], dtype=np.int32)),
         }
         # static row map compacting the all_gathered padded coarse slabs
         # (P * S * n_c rows) to physical plane order (m_last * n_c rows)
@@ -541,7 +546,7 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
                 facs.append(jnp.asarray(F, dtype=dtype))
             P1p.append(facs)
             mats = []
-            for p in range(Pn):
+            for p in shard_list:
                 F = np.zeros((g.layers * n_o, m_last + 1))
                 for k, q in enumerate(phys_lists[p][gi]):
                     if q < 0:
@@ -551,8 +556,7 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
                     F[k * n_o:(k + 1) * n_o, q] = 1.0 - t
                     F[k * n_o:(k + 1) * n_o, q + g.zcoarse] = t
                 mats.append(F)
-            arr = np.stack(mats) if domain.spmd else mats[0]
-            P1z.append(jnp.asarray(arr, dtype=dtype))
+            P1z.append(domain.shard_put(np.stack(mats), dtype=dtype))
 
         extra["amg"] = {"chain": chain, "P1p": P1p, "P1z": P1z}
 
@@ -573,10 +577,13 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
         # use for validation at small/medium sizes, 'amg' for production
         from ..amg.composite import build_composite_hierarchy
         from ..amg.vcycle import pack_hierarchies
-        shard_ids = range(Pn) if domain.spmd else [0]
+        if domain.multiprocess:
+            raise NotImplementedError(
+                "inner='fem-amg' is single-process (use inner='amg' for "
+                "multi-host runs)")
         hiers = [build_composite_hierarchy(
             groups, mesh_by_order, plane_shape, m_last, bases[p], dim,
-            max_coarse=max_coarse) for p in shard_ids]
+            max_coarse=max_coarse) for p in shard_list]
         extra["amg"] = pack_hierarchies(hiers, dtype=dtype,
                                         stack=domain.spmd)
 

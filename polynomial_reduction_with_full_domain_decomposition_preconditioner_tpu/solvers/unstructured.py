@@ -118,9 +118,15 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
     verts = mesh1.glo_num            # (E, 2^dim) corner vertex ids
     adj = gr.element_adjacency(verts)
 
-    # fine partition bounds (contiguous element chunks)
-    own_counts = sd.elem_valid.sum(axis=1).astype(np.int64)
-    bounds = np.concatenate([[0], np.cumsum(own_counts)])
+    if domain.multiprocess:
+        raise NotImplementedError(
+            "the unstructured composite path is single-process for now "
+            "(multi-host local-only setup covers the structured path)")
+
+    # fine partition bounds (contiguous element chunks; global offsets so
+    # the region/ownership maps are partition-process independent)
+    bounds = np.asarray(sd.elem_offsets, dtype=np.int64)
+    own_counts = np.diff(bounds)
     owner_of = np.repeat(np.arange(Pn), own_counts)
     slot_of = np.concatenate([np.arange(c) for c in own_counts])
 

@@ -1,0 +1,63 @@
+"""Per-process worker for the multi-host test: run the production solve
+on a 2-process x 2-virtual-CPU-device mesh (4 shards) with local-only
+setup, and dump the replicated convergence history as JSON.
+
+Launched by tests/test_multihost.py; also usable standalone:
+    python tests/multihost_worker.py <pid> <nproc> <port> <out.json>
+"""
+
+import json
+import sys
+
+
+def main():
+    pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    out_path = sys.argv[4]
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(coordinator_address=f"localhost:{port}",
+                               num_processes=nproc, process_id=pid)
+    jax.config.update("jax_num_cpu_devices", 2)
+    jax.config.update("jax_enable_x64", True)
+
+    import numpy as np
+    import jax.numpy as jnp
+    from functools import partial
+    from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.mesh import generator as mg
+    from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.mesh.partition import partition_mesh
+    from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.runtime.distributed import owned_shards
+    from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.solvers.domain import Domain
+    from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.solvers import subdomain as sub
+
+    P = 4
+    assert jax.device_count() == P, jax.device_count()
+    shape = (2, 2, 8)
+    mk = partial(mg.box_mesh, shape, extent=(1.0, 1.0, 4.0))
+    mesh = mk(3)
+    owned = owned_shards(P)
+    sd = partition_mesh(mesh, P, owned=owned)
+    assert sd.geom.shape[0] == len(owned) == 2   # local-only setup
+    dmesh = jax.make_mesh((P,), ("shard",))
+    dom = Domain(sd, dtype=jnp.float64, device_mesh=dmesh)
+    u_star = dom.initial_function(4, seed=1)
+    f = dom.manufacture_rhs(u_star)
+    pre = sub.composite_dd(dom, mk, poly_reduction=2, inner="amg")
+    res = dom.solver(method="fgmres", max_iterations=100, tolerance=1e-8,
+                     precond=pre)(f)
+    hist = np.asarray(res.residual_history)
+    err_local = float(np.abs(dom.from_device_field(res.u)
+                             - dom.from_device_field(u_star)).max())
+    if pid == 0:
+        with open(out_path, "w") as fh:
+            json.dump({
+                "iterations": int(res.iterations),
+                "converged": bool(res.converged),
+                "history": hist[np.isfinite(hist)].tolist(),
+                "err_local": err_local,
+            }, fh)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

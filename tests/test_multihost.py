@@ -1,0 +1,65 @@
+"""Multi-host execution path: a 2-process CPU run (gloo collectives, 2
+virtual devices per process) with local-only setup must reproduce the
+single-process residual history exactly — the rebuild's replacement for
+the reference's multi-node cluster validation (SURVEY.md section 4:
+'Multi-host without a cluster').
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from functools import partial
+
+from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.mesh import generator as mg
+from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.mesh.partition import partition_mesh
+from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.solvers.domain import Domain
+from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.solvers import subdomain as sub
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _single_process_reference():
+    """The same problem/config as tests/multihost_worker.py, one process."""
+    shape = (2, 2, 8)
+    mk = partial(mg.box_mesh, shape, extent=(1.0, 1.0, 4.0))
+    mesh = mk(3)
+    sd = partition_mesh(mesh, 4)
+    dom = Domain(sd, dtype=jnp.float64,
+                 device_mesh=jax.make_mesh((4,), ("shard",)))
+    u_star = dom.initial_function(4, seed=1)
+    f = dom.manufacture_rhs(u_star)
+    pre = sub.composite_dd(dom, mk, poly_reduction=2, inner="amg")
+    res = dom.solver(method="fgmres", max_iterations=100, tolerance=1e-8,
+                     precond=pre)(f)
+    hist = np.asarray(res.residual_history)
+    return int(res.iterations), hist[np.isfinite(hist)]
+
+
+def test_two_process_run_matches_single_process(tmp_path):
+    out = tmp_path / "mh.json"
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["PYTHONPATH"] = _ROOT + os.pathsep + env.get("PYTHONPATH", "")
+    worker = os.path.join(_ROOT, "tests", "multihost_worker.py")
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(pid), "2", "12875", str(out)],
+        env=env, cwd=_ROOT, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT) for pid in range(2)]
+    outputs = [p.communicate(timeout=420)[0].decode() for p in procs]
+    for p, o in zip(procs, outputs):
+        if p.returncode != 0:
+            pytest.fail(f"worker failed (rc={p.returncode}):\n{o[-3000:]}")
+
+    rec = json.loads(out.read_text())
+    assert rec["converged"]
+    iters1, hist1 = _single_process_reference()
+    assert rec["iterations"] == iters1, (rec["iterations"], iters1)
+    np.testing.assert_allclose(rec["history"], hist1, rtol=1e-9)
+    assert rec["err_local"] < 1e-7
