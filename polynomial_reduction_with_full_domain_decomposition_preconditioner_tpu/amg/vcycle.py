@@ -100,24 +100,27 @@ def _apply(A, x):
 def cheby_smooth(A, invd, lmax, f, u, order: int):
     """Diagonal-preconditioned Chebyshev smoothing on [0.3*lmax, lmax]
     (the fused smoother ops of AMG/kernels.cu:25-76, here fused by XLA).
-    A: EllMatrix or a matrix-free callable."""
+    A: EllMatrix or a matrix-free callable. Fields may be PYTREES of
+    arrays (the composite problem keeps per-group lattices unflattened)."""
+    tm = jax.tree.map
     lmin = CHEBY_FRACTION * lmax
     theta = 0.5 * (lmax + lmin)
     delta = 0.5 * (lmax - lmin)
     sigma = theta / delta
     rho = 1.0 / sigma
-    r = f if u is None else f - _apply(A, u)
-    d = (invd * r) / theta
+    r = f if u is None else tm(jnp.subtract, f, _apply(A, u))
+    d = tm(lambda iv, rl: iv * rl / theta, invd, r)
     if u is None:
         u = d
     else:
-        u = u + d
+        u = tm(jnp.add, u, d)
     for _ in range(order - 1):
-        r = r - _apply(A, d)
+        r = tm(jnp.subtract, r, _apply(A, d))
         rho_new = 1.0 / (2.0 * sigma - rho)
-        d = rho_new * rho * d + (2.0 * rho_new / delta) * (invd * r)
+        d = tm(lambda dl, iv, rl: rho_new * rho * dl
+               + (2.0 * rho_new / delta) * (iv * rl), d, invd, r)
         rho = rho_new
-        u = u + d
+        u = tm(jnp.add, u, d)
     return u
 
 

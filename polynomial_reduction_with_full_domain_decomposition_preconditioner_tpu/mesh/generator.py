@@ -188,8 +188,42 @@ def geometric_factors(coords: np.ndarray, dim: int, poly_degree: int) -> np.ndar
         axis = 1 + (dim - 1 - a)  # storage axis for reference direction a
         J[..., :, a] = deriv_along(X, axis)
 
-    detJ = np.linalg.det(J)
-    Jinv = np.linalg.inv(J)  # Jinv[..., a, d] = d r_a / d x_d
+    # closed-form batched det/inverse (vectorized adjugate): stacked
+    # np.linalg.inv dispatches LAPACK per 2x2/3x3 matrix and dominated
+    # the mesh-setup time at production sizes
+    if dim == 2:
+        a, b = J[..., 0, 0], J[..., 0, 1]
+        c, d = J[..., 1, 0], J[..., 1, 1]
+        detJ = a * d - b * c
+        Jinv = np.empty_like(J)
+        Jinv[..., 0, 0] = d
+        Jinv[..., 0, 1] = -b
+        Jinv[..., 1, 0] = -c
+        Jinv[..., 1, 1] = a
+        Jinv /= detJ[..., None, None]
+    else:
+        c00 = J[..., 1, 1] * J[..., 2, 2] - J[..., 1, 2] * J[..., 2, 1]
+        c01 = J[..., 1, 2] * J[..., 2, 0] - J[..., 1, 0] * J[..., 2, 2]
+        c02 = J[..., 1, 0] * J[..., 2, 1] - J[..., 1, 1] * J[..., 2, 0]
+        detJ = (J[..., 0, 0] * c00 + J[..., 0, 1] * c01
+                + J[..., 0, 2] * c02)
+        Jinv = np.empty_like(J)
+        Jinv[..., 0, 0] = c00
+        Jinv[..., 1, 0] = c01
+        Jinv[..., 2, 0] = c02
+        Jinv[..., 0, 1] = (J[..., 0, 2] * J[..., 2, 1]
+                           - J[..., 0, 1] * J[..., 2, 2])
+        Jinv[..., 1, 1] = (J[..., 0, 0] * J[..., 2, 2]
+                           - J[..., 0, 2] * J[..., 2, 0])
+        Jinv[..., 2, 1] = (J[..., 0, 1] * J[..., 2, 0]
+                           - J[..., 0, 0] * J[..., 2, 1])
+        Jinv[..., 0, 2] = (J[..., 0, 1] * J[..., 1, 2]
+                           - J[..., 0, 2] * J[..., 1, 1])
+        Jinv[..., 1, 2] = (J[..., 0, 2] * J[..., 1, 0]
+                           - J[..., 0, 0] * J[..., 1, 2])
+        Jinv[..., 2, 2] = (J[..., 0, 0] * J[..., 1, 1]
+                           - J[..., 0, 1] * J[..., 1, 0])
+        Jinv /= detJ[..., None, None]
     Gfull = np.einsum("...ad,...bd->...ab", Jinv, Jinv) * detJ[..., None, None]
 
     wq = w

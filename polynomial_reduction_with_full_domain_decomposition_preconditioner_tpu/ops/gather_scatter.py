@@ -168,28 +168,28 @@ def slab_exchange_add(U, axis_name, top_plane=None):
                                                top_plane, 0)
 
 
-def structured_dssum(u_lat, *, lattice_shape, n: int, dim: int, mask,
+def structured_dssum(U, *, n: int, dim: int, mask,
                      inv_degree_pts, axis_name,
                      apply_mask: bool = True, apply_weight: bool = False,
                      top_plane=None):
     """Direct stiffness summation on a structured box lattice.
 
-    Fields live natively in the point-lattice layout (flat, index
-    X = (Z*My + Y)*Mx + X with X_d = e_d*n + i_d): large contiguous minor
-    dims tile well on TPU, face sums are lane rolls, and the slab boundary
-    is a contiguous plane. mask / inv_degree_pts are lattice-ordered.
+    Fields live natively in the SHAPED point-lattice layout
+    (Mz, My, Mx) with X_d = e_d*n + i_d — never flattened: large
+    contiguous minor dims tile well on TPU, face sums are lane rolls, the
+    slab boundary is a contiguous plane, and a 1-D<->3-D reshape would
+    materialize a layout copy far below HBM bandwidth (measured 800 us at
+    2.1M points). mask / inv_degree_pts carry the same lattice shape.
 
     top_plane: per-shard real top-plane index for ragged slab partitions
     (see slab_exchange_add). Requires the padding invariant: every input
     field is zero at pad points (mask/weight are zero there, so outputs
     preserve it).
     """
-    U = u_lat.reshape(lattice_shape)
     U = lattice_face_sum(U, n)
     U = slab_exchange_add(U, axis_name, top_plane=top_plane)
-    out = U.reshape(u_lat.shape)
     if apply_weight:
-        out = out * inv_degree_pts
+        U = U * inv_degree_pts
     if apply_mask:
-        out = out * mask
-    return out
+        U = U * mask
+    return U

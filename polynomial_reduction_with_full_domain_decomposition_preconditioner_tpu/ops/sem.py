@@ -23,7 +23,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["stiffness_apply", "stiffness_diagonal",
-           "stiffness_apply_lattice", "stiffness_diagonal_lattice"]
+           "stiffness_apply_lattice", "stiffness_diagonal_lattice",
+           "dense_derivative_ops", "stiffness_apply_dense"]
 
 # f32 inputs stay f32 on the MXU (3-pass); bf16 fast path is a config knob
 # handled by callers via dtype of the operands.
@@ -83,6 +84,63 @@ def stiffness_apply(u, geom, D, dim: int):
         return Au.reshape(E, n ** 3)
 
     raise ValueError(f"dim must be 2 or 3, got {dim}")
+
+
+def dense_derivative_ops(n: int, dim: int):
+    """Dense per-element derivative operators for the MXU-saturating
+    stiffness form: (DT_all, D_all) with
+      DT_all (npe, dim*npe): u_e @ DT_all = [D_r u | D_s u | D_t u]
+      D_all (dim*npe, npe):  [V_r | V_s | V_t] @ D_all = sum_a D_a^T V_a
+
+    Rationale: the tensor-product (sum-factorized) apply is flop-minimal
+    but its contractions are K=N=n matmuls — the MXU pads both to 128, a
+    ~256x utilization loss that makes the apply compute-bound at ~8% of
+    HBM speed of light (measured: 1156 us for 2.1M points). The dense
+    form spends (9/2)n^2/(3n+4.5) ~ 27x more flops at FULL utilization:
+    two (E, npe) x (npe, dim*npe) matmuls, npe = 512 at N=7. Host numpy;
+    call once at setup.
+    """
+    import numpy as np
+    from ..utils.gll import diff_matrix
+    D = np.asarray(diff_matrix(n))
+    I = np.eye(n)
+    mats = []
+    for a in range(dim):            # a = 0 is r (x, fastest storage axis)
+        factors = [I] * dim
+        factors[dim - 1 - a] = D
+        M = factors[0]
+        for f in factors[1:]:
+            M = np.kron(M, f)
+        mats.append(M)
+    DT_all = np.concatenate([M.T for M in mats], axis=1)
+    D_all = np.concatenate(mats, axis=0)
+    return DT_all, D_all
+
+
+def stiffness_apply_dense(u, geom, DT_all, D_all, dim: int):
+    """MXU-dense SEM stiffness apply (same math as stiffness_apply).
+
+    u: (E, npe); geom: (E, npe, nG); DT_all/D_all from
+    dense_derivative_ops. Returns (E, npe).
+    """
+    E, npe = u.shape
+    W = jnp.einsum("eq,qm->em", u, DT_all, precision=_PREC)
+    W = W.reshape(E, dim, npe)          # W[:, a] = D_a u
+    G = geom
+    if dim == 2:
+        Vr = G[..., 0] * W[:, 0] + G[..., 2] * W[:, 1]
+        Vs = G[..., 2] * W[:, 0] + G[..., 1] * W[:, 1]
+        V = jnp.stack([Vr, Vs], axis=1)
+    else:
+        Vr = (G[..., 0] * W[:, 0] + G[..., 3] * W[:, 1]
+              + G[..., 4] * W[:, 2])
+        Vs = (G[..., 3] * W[:, 0] + G[..., 1] * W[:, 1]
+              + G[..., 5] * W[:, 2])
+        Vt = (G[..., 4] * W[:, 0] + G[..., 5] * W[:, 1]
+              + G[..., 2] * W[:, 2])
+        V = jnp.stack([Vr, Vs, Vt], axis=1)
+    return jnp.einsum("em,mq->eq", V.reshape(E, dim * npe), D_all,
+                      precision=_PREC)
 
 
 def _dmul(D, U, axis: int, n: int):

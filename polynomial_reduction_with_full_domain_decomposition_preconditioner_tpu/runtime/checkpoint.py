@@ -14,7 +14,8 @@ import scipy.sparse as sp
 
 from ..amg.composite import HostHierarchy
 
-__all__ = ["save_hierarchies", "load_hierarchies"]
+__all__ = ["save_hierarchies", "load_hierarchies", "save_mesh", "load_mesh",
+           "cached_mesh_builder", "save_chain_info", "load_chain_info"]
 
 
 def _pack_csr(d: dict, key: str, m: sp.csr_matrix):
@@ -60,3 +61,88 @@ def load_hierarchies(path: str) -> list[HostHierarchy]:
             Q=_unpack_csr(z, f"s{p}.Q"),
             dof_mask=z[f"s{p}.dof_mask"]))
     return out
+
+
+# ---------------------------------------------------------------------------
+# mesh + production-chain checkpoints (driver --checkpoint): the dominant
+# setup costs at production sizes are the global mesh build (float64
+# geometric factors over every element) and the vertex-chain construction
+
+
+def save_mesh(path: str, mesh):
+    np.savez_compressed(
+        path, dim=np.asarray(mesh.dim),
+        poly_degree=np.asarray(mesh.poly_degree),
+        elem_shape=np.asarray(mesh.elem_shape),
+        coords=mesh.coords, glo_num=mesh.glo_num,
+        node_degree=mesh.node_degree,
+        dirichlet_mask=mesh.dirichlet_mask,
+        geom=mesh.geom, mass=mesh.mass,
+        structured_layout=np.asarray(mesh.structured_layout))
+
+
+def load_mesh(path: str):
+    from ..mesh.generator import GlobalMesh
+    z = np.load(path)
+    return GlobalMesh(
+        dim=int(z["dim"]), poly_degree=int(z["poly_degree"]),
+        elem_shape=tuple(int(x) for x in z["elem_shape"]),
+        coords=z["coords"], glo_num=z["glo_num"],
+        node_degree=z["node_degree"], dirichlet_mask=z["dirichlet_mask"],
+        geom=z["geom"], mass=z["mass"],
+        structured_layout=bool(z["structured_layout"]))
+
+
+def cached_mesh_builder(builder, directory: str, tag: str):
+    """Wrap mesh_builder(order) with an npz cache under ``directory``.
+    The tag must encode every mesh parameter (the driver derives it from
+    the Config); orders are cached independently as they are built."""
+    import os
+    os.makedirs(directory, exist_ok=True)
+
+    def cached(order: int):
+        path = os.path.join(directory, f"mesh_{tag}_N{order}.npz")
+        if os.path.exists(path):
+            return load_mesh(path)
+        mesh = builder(order)
+        save_mesh(path, mesh)
+        return mesh
+
+    return cached
+
+
+def save_chain_info(path: str, info: dict):
+    """Vertex-chain checkpoint (amg/composite.coarsen_chain_info output —
+    the production inner='amg' hierarchy: level CSRs, transfer factors,
+    masks, Chebyshev bounds, dense coarse inverse)."""
+    d = {"num_levels": np.asarray(len(info["mats"])),
+         "lmaxs": np.asarray(info["lmaxs"]),
+         "coarse_inv": info["coarse_inv"]}
+    for l, m in enumerate(info["mats"]):
+        _pack_csr(d, f"A{l}", m.tocsr())
+    for l, m in enumerate(info["prolongs"]):
+        _pack_csr(d, f"P{l}", m.tocsr())
+    for l, s in enumerate(info["shapes"]):
+        d[f"shape{l}"] = np.asarray(s)
+    for l, m in enumerate(info["masks"]):
+        d[f"mask{l}"] = m
+    for l, fs in enumerate(info["factors"]):
+        for k, F in enumerate(fs):
+            d[f"fac{l}.{k}"] = F
+    np.savez_compressed(path, **d)
+
+
+def load_chain_info(path: str) -> dict:
+    z = np.load(path)
+    L = int(z["num_levels"])
+    dim = len(z["shape0"])
+    return {
+        "mats": [_unpack_csr(z, f"A{l}") for l in range(L)],
+        "prolongs": [_unpack_csr(z, f"P{l}") for l in range(L - 1)],
+        "shapes": [tuple(int(x) for x in z[f"shape{l}"]) for l in range(L)],
+        "masks": [z[f"mask{l}"] for l in range(L)],
+        "factors": [[z[f"fac{l}.{k}"] for k in range(dim)]
+                    for l in range(L - 1)],
+        "lmaxs": list(z["lmaxs"]),
+        "coarse_inv": z["coarse_inv"],
+    }

@@ -66,6 +66,11 @@ class Config:
     output: str | None = None          # npz/vtk field dump path
     phase_report: bool = False         # print the differential phase
     #   table after the solve (runtime/phases.py; poisson.cpp:259-401)
+    inner_history: bool = False        # print one preconditioner
+    #   application's inner FGMRES residuals (subdomain.tpp:4430 role)
+    checkpoint: str | None = None      # directory for setup checkpoints
+    #   (meshes + production vertex chain); a second run with the same
+    #   config skips the expensive host setup (SURVEY.md 5.4 extension)
 
     def stype_dtype(self):
         import jax.numpy as jnp
@@ -142,6 +147,10 @@ class Config:
         p.add_argument("--seed", type=int, default=d.seed)
         p.add_argument("--output", default=None)
         p.add_argument("--phase-report", action="store_true")
+        p.add_argument("--inner-history", action="store_true")
+        p.add_argument("--checkpoint", default=None,
+                       help="directory for setup checkpoints (mesh + "
+                            "preconditioner hierarchy)")
         a = p.parse_args(argv)
         return cls(
             mesh=a.mesh, shape=tuple(int(x) for x in a.shape.split(",")),
@@ -160,4 +169,5 @@ class Config:
             far_coarsen=(a.far_coarsen if a.far_coarsen == "auto"
                          else int(a.far_coarsen)),
             num_shards=a.num_shards, manufactured_solution=a.solution_id,
-            seed=a.seed, output=a.output, phase_report=a.phase_report)
+            seed=a.seed, output=a.output, phase_report=a.phase_report,
+            inner_history=a.inner_history, checkpoint=a.checkpoint)

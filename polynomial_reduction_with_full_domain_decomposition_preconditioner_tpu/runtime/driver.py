@@ -33,6 +33,11 @@ def _build_domain(cfg: Config, device_mesh=None):
     if cfg.scramble is not None:
         base = builder
         builder = lambda o: mg.scramble_mesh(base(o), seed=cfg.scramble)
+    if cfg.checkpoint:
+        from .checkpoint import cached_mesh_builder
+        tag = (f"{cfg.mesh}_{'x'.join(map(str, cfg.shape))}"
+               f"_e{cfg.epsilon}_s{cfg.scramble}")
+        builder = cached_mesh_builder(builder, cfg.checkpoint, tag)
     mesh = builder(cfg.poly_degree)
     import jax
     owned = None
@@ -49,6 +54,13 @@ def _build_preconditioner(cfg: Config, dom, mesh_builder, fine_mesh=None):
     from ..solvers import subdomain as sub
 
     if cfg.preconditioner == "composite":
+        chain_cache = None
+        if cfg.checkpoint and cfg.inner == "amg" and cfg.scramble is None:
+            import os
+            chain_cache = os.path.join(
+                cfg.checkpoint,
+                f"chain_{cfg.mesh}_{'x'.join(map(str, cfg.shape))}"
+                f"_e{cfg.epsilon}_mc{cfg.max_coarse}.npz")
         return sub.composite_dd(
             dom, mesh_builder, poly_reduction=cfg.poly_reduction,
             subdomain_overlap=cfg.subdomain_overlap,
@@ -56,7 +68,8 @@ def _build_preconditioner(cfg: Config, dom, mesh_builder, fine_mesh=None):
             num_iterations=cfg.inner_iterations, inner=cfg.inner,
             num_vcycles=cfg.num_vcycles, cheby_order=cfg.cheby_order,
             ptype=cfg.ptype_dtype(), max_coarse=cfg.max_coarse,
-            far_coarsen=cfg.far_coarsen, fine_mesh=fine_mesh)
+            far_coarsen=cfg.far_coarsen, fine_mesh=fine_mesh,
+            chain_cache=chain_cache)
     if cfg.preconditioner == "pmultigrid":
         return pc.pmultigrid(dom, mesh_builder,
                              poly_reduction=cfg.poly_reduction)
@@ -128,6 +141,17 @@ def run_simulation(cfg: Config, out=sys.stdout) -> dict:
     print(f"converged: {bool(res.converged)}  iterations: {iters}  "
           f"max|u - u*|: {err:.3e}", file=out)
 
+    if cfg.inner_history and cfg.preconditioner == "composite":
+        # one preconditioner application's inner FGMRES residuals (the
+        # reference's per-inner-iteration prints, subdomain.tpp:4430;
+        # max over shards — inner solves are rank-local)
+        probe = dom.precond_probe(pre)
+        _, ih = probe(f)
+        ih = np.asarray(ih)
+        for k, v in enumerate(ih[np.isfinite(ih)]):
+            print(f"  inner iteration: {k:3d}  residual: {v:.6e}",
+                  file=out)
+
     refined = {}
     if cfg.refine_tolerance is not None:
         # f64 iterative refinement on top of the stype solver (the
@@ -152,7 +176,8 @@ def run_simulation(cfg: Config, out=sys.stdout) -> dict:
                    "refined_max_error": err64,
                    "refined_converged": rr.converged}
 
-    print(timer.report(), file=out)
+    print(timer.report(num_shards=cfg.num_shards if cfg.num_shards > 1
+                       else None), file=out)
 
     if cfg.output:
         from ..io.fields import save_fields

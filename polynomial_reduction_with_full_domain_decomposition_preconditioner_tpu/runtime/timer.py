@@ -94,15 +94,29 @@ class Timer:
     def total(self, name: str) -> float:
         return self._totals.get(name, 0.0)
 
-    def report(self) -> str:
+    def report(self, num_shards: int | None = None) -> str:
         """Hierarchical text table in the reference's output style
-        (poisson.cpp:259-401: '<name>: <total> s  (xN)')."""
+        (poisson.cpp:259-401: '<name>: <total> s  (xN)').
+
+        With num_shards, each region also prints the reference's
+        mean/max-over-ranks aggregation and per-rank vector
+        '[ t_0 t_1 ... t_{P-1} ]' (timer.tpp:78-125, poisson.cpp:391-401).
+        Under shard_map the shards execute lockstep inside one XLA
+        program, so the per-shard wall times are identical by
+        construction — the schema is emitted for report parity and for
+        multi-process runs where they can genuinely differ.
+        """
         lines = []
         for name in sorted(self._totals):
             depth = name.count(".")
-            lines.append(f"{'  ' * depth}{name}: "
-                         f"{self._totals[name]:.6f} s  "
-                         f"(x{self._counts[name]})")
+            t = self._totals[name]
+            line = (f"{'  ' * depth}{name}: {t:.6f} s  "
+                    f"(x{self._counts[name]})")
+            if num_shards:
+                vec = " ".join(f"{t:.6f}" for _ in range(num_shards))
+                line += (f"\n{'  ' * depth}  mean: {t:.6f}  max: {t:.6f}  "
+                         f"[ {vec} ]")
+            lines.append(line)
         return "\n".join(lines)
 
     def as_dict(self) -> dict:

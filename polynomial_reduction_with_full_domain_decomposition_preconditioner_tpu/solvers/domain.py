@@ -116,11 +116,9 @@ class Domain:
             geom = np.stack([self._host_elem_to_lattice(sharded.geom[p])
                              for p in range(n_own)])
             mask = np.stack([self._host_elem_to_lattice(
-                sharded.dirichlet_mask[p]).reshape(-1)
-                for p in range(n_own)])
+                sharded.dirichlet_mask[p]) for p in range(n_own)])
             invd = np.stack([self._host_elem_to_lattice(
-                sharded.inv_degree_pts[p]).reshape(-1)
-                for p in range(n_own)])
+                sharded.inv_degree_pts[p]) for p in range(n_own)])
         else:
             self.local_grid = None
             self.lattice_shape = None
@@ -212,18 +210,18 @@ class Domain:
 
         if st.structured is not None:
             n = st.poly_degree + 1
-            lat = self.lattice_shape
             # ragged slab partitions: the real top plane is shard-varying
             top = (arrays.layers * n - 1) if self.ragged else None
 
             def operator(u):
-                au = sem.stiffness_apply_lattice(
-                    u.reshape(lat), arrays.geom, arrays.D, self.dim)
-                return au.reshape(u.shape)
+                # fields stay SHAPED (Mz, My, Mx): flattening would
+                # materialize a layout copy per apply (see krylov.py)
+                return sem.stiffness_apply_lattice(
+                    u, arrays.geom, arrays.D, self.dim)
 
             def dssum(u, apply_mask=True, apply_weight=False):
                 return gs.structured_dssum(
-                    u, lattice_shape=lat, n=n, dim=self.dim,
+                    u, n=n, dim=self.dim,
                     mask=arrays.mask, inv_degree_pts=arrays.inv_degree_pts,
                     axis_name=axis, apply_mask=apply_mask,
                     apply_weight=apply_weight, top_plane=top)
@@ -246,12 +244,11 @@ class Domain:
                     apply_weight=apply_weight)
 
         def dot(a, b):
-            return gs.psum_scalar(
-                jnp.dot(a, b, precision=_HI), axis)
+            # pytree/stacked-aware global inner product (krylov contract)
+            return krylov.tree_dot(a, b, axis_name=axis)
 
         def dot2(a, b, c, d):
-            v = jnp.stack([jnp.dot(a, b, precision=_HI),
-                           jnp.dot(c, d, precision=_HI)])
+            v = jnp.stack([krylov.tree_dot(a, b), krylov.tree_dot(c, d)])
             v = gs.psum_scalar(v, axis)
             return v[0], v[1]
 
@@ -331,7 +328,8 @@ class Domain:
                 res = impl(_squeeze_shard(arrays),
                            self._squeeze_extra(extra, specs_cap), f[0])
                 return krylov.KrylovResult(
-                    u=res.u[None], iterations=res.iterations,
+                    u=jax.tree.map(lambda x: x[None], res.u),
+                    iterations=res.iterations,
                     residual_history=res.residual_history,
                     r0_norm=res.r0_norm, converged=res.converged)
 
@@ -358,18 +356,26 @@ class Domain:
             return (self.num_owned, st.points_per_shard)
         return (st.points_per_shard,)
 
+    @property
+    def field_shape(self):
+        """Per-shard device field shape: the 3-D lattice for structured
+        domains, flat points otherwise."""
+        if self.lattice_shape is not None:
+            return self.lattice_shape
+        return (self.sharded.points_per_shard,)
+
     def to_device_field(self, host_field: np.ndarray):
-        """Element-ordered host values (owned shards) -> device field
-        (lattice layout for structured domains; a global jax.Array in
-        multi-process runs). Pad-element points are zeroed: device fields
-        must be zero at padding (the face sum would otherwise leak pad
-        values into real planes on ragged partitions)."""
+        """Element-ordered host values (owned shards) -> device field in
+        its natural shape (3-D lattice for structured domains; a global
+        jax.Array in multi-process runs). Pad-element points are zeroed:
+        device fields must be zero at padding (the face sum would
+        otherwise leak pad values into real planes on ragged
+        partitions)."""
         vals = np.asarray(host_field).reshape(self.num_owned, -1).copy()
         npe = self.sharded.num_points_per_elem
         vals[~np.repeat(self.sharded.elem_valid, npe, axis=1)] = 0.0
         if self.sharded.structured is not None:
-            vals = np.stack([self._host_elem_to_lattice(v).reshape(-1)
-                             for v in vals])
+            vals = np.stack([self._host_elem_to_lattice(v) for v in vals])
         return self.shard_put(vals, dtype=self.dtype)
 
     def from_device_field(self, u) -> np.ndarray:
@@ -379,13 +385,13 @@ class Domain:
             shards = sorted(u.addressable_shards,
                             key=lambda s: s.index[0].start or 0)
             vals = np.concatenate([np.asarray(s.data) for s in shards],
-                                  axis=0).reshape(self.num_owned, -1)
+                                  axis=0)
         else:
-            vals = np.asarray(u).reshape(self.num_owned, -1)
+            vals = np.asarray(u)
+        vals = vals.reshape((self.num_owned,) + self.field_shape)
         if self.sharded.structured is not None:
-            vals = np.stack([self._host_lattice_to_elem(
-                v.reshape(self.lattice_shape)) for v in vals])
-        return vals
+            vals = np.stack([self._host_lattice_to_elem(v) for v in vals])
+        return vals.reshape(self.num_owned, -1)
 
     def _jit_pointwise(self, name, run):
         """Cache a jitted (arrays, field) -> field function under `name`."""
@@ -418,6 +424,39 @@ class Domain:
             return operator(u)
 
         return self._jit_pointwise("operator", run)(self.arrays, u)
+
+    def precond_probe(self, precond):
+        """Jitted (r) -> (z, inner_history) for preconditioners exposing a
+        ``.probe`` (the composite's inner FGMRES residuals — the
+        reference's per-inner-iteration prints, subdomain.tpp:4430)."""
+        builder, extra = precond.build, precond.extra
+        specs = precond.extra_specs(self.axis_name) if self.spmd else None
+
+        def impl(arrays, extra, r):
+            ops = self._ops(arrays)
+            fn = builder(arrays, extra, ops)
+            if not hasattr(fn, "probe"):
+                raise ValueError("preconditioner has no inner-solve probe")
+            return fn.probe(r)
+
+        if self.spmd:
+            ax = self.axis_name
+
+            def spmd_impl(arrays, extra, r):
+                z, hist = impl(_squeeze_shard(arrays),
+                               self._squeeze_extra(extra, specs), r[0])
+                # rank-local inner histories differ per shard: report the
+                # max (the reference prints per-rank logs; max matches
+                # its timing-report aggregation convention)
+                return z[None], jax.lax.pmax(hist, ax)
+
+            fn = jax.jit(jax.shard_map(
+                spmd_impl, mesh=self.device_mesh,
+                in_specs=(_specs(ax), specs, P(ax)),
+                out_specs=(P(ax), P())))
+            return lambda r: fn(self.arrays, extra, r)
+        jfn = jax.jit(impl)
+        return lambda r: jfn(self.arrays, extra, r)
 
     def residual(self, u, f):
         """(r, ||r||): non-assembled residual and its assembled norm

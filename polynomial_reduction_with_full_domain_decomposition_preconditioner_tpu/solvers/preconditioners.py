@@ -41,10 +41,10 @@ class Preconditioner:
 
 
 def _domain_inv_diag(domain, arrays, dssum):
-    """Continuous inverse assembled diagonal as a point field."""
+    """Continuous inverse assembled diagonal as a (shaped) point field."""
     if domain.sharded.structured is not None:
         diag = sem.stiffness_diagonal_lattice(arrays.geom, arrays.D,
-                                              domain.dim).reshape(-1)
+                                              domain.dim)
     else:
         diag = sem.stiffness_diagonal(arrays.geom, arrays.D,
                                       domain.dim).reshape(-1)
@@ -94,9 +94,9 @@ def _level_arrays(domain, orders, mesh_builder):
 
         n_own = len(sd.owned)
         geom = np.stack([to_lat(sd.geom[p]) for p in range(n_own)])
-        mask = np.stack([to_lat(sd.dirichlet_mask[p]).reshape(-1)
+        mask = np.stack([to_lat(sd.dirichlet_mask[p])
                          for p in range(n_own)])
-        invd = np.stack([to_lat(sd.inv_degree_pts[p]).reshape(-1)
+        invd = np.stack([to_lat(sd.inv_degree_pts[p])
                          for p in range(n_own)])
         levels.append({
             "geom": domain.shard_put(geom, dtype=domain.dtype),
@@ -169,18 +169,17 @@ def pmultigrid(domain, mesh_builder, poly_reduction: int = None,
 
             def op(u):
                 return sem.stiffness_apply_lattice(
-                    u.reshape(lat), lvl["geom"], lvl["D"], dim
-                ).reshape(u.shape)
+                    u, lvl["geom"], lvl["D"], dim)
 
             def ds(u, apply_mask=True, apply_weight=False):
                 return gs.structured_dssum(
-                    u, lattice_shape=lat, n=n_c, dim=dim,
+                    u, n=n_c, dim=dim,
                     mask=lvl["mask"], inv_degree_pts=lvl["inv_degree_pts"],
                     axis_name=ax, apply_mask=apply_mask,
                     apply_weight=apply_weight, top_plane=top)
 
             diag = sem.stiffness_diagonal_lattice(lvl["geom"], lvl["D"],
-                                                  dim).reshape(-1)
+                                                  dim)
             diag_c = ds(diag, apply_mask=False)
             inv_diag = jnp.where(diag_c > 0, 1.0 / diag_c, 0.0)
             return op, ds, inv_diag
@@ -218,11 +217,9 @@ def pmultigrid(domain, mesh_builder, poly_reduction: int = None,
             op, ds, invd = lvls[l]
             z = omega * invd * ds(r, apply_mask=True)      # pre-smooth
             res = r - op(z)                                # non-assembled
-            rc = interp.lattice_tensor_apply(
-                res.reshape(lat_shapes[l]), extra["J"][l].T, dim).reshape(-1)
+            rc = interp.lattice_tensor_apply(res, extra["J"][l].T, dim)
             zc = vcycle(l + 1, rc)
-            z = z + interp.lattice_tensor_apply(
-                zc.reshape(lat_shapes[l + 1]), extra["J"][l], dim).reshape(-1)
+            z = z + interp.lattice_tensor_apply(zc, extra["J"][l], dim)
             return smooth(l, z, r)                          # post-smooth
 
         def precond(r):

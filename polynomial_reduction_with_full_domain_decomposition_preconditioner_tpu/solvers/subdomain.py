@@ -216,7 +216,8 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
                  ptype=None,
                  max_coarse: int = 600,
                  far_coarsen="auto",
-                 fine_mesh=None) -> Preconditioner:
+                 fine_mesh=None,
+                 chain_cache: str | None = None) -> Preconditioner:
     """Build the composite DD+polynomial-reduction preconditioner.
 
     domain: the fine-level Domain (structured, slab-partitioned).
@@ -519,9 +520,19 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
         # 1642-1858, by direct P1 re-discretization).
         from ..amg.composite import vertex_q1_hierarchy
         from ..amg.vcycle import pack_chain
-        mesh1 = mesh_by_order.get(1) or mesh_builder(1)
-        chain_info = vertex_q1_hierarchy(mesh1, plane_shape, m_last, dim,
-                                         max_coarse=max_coarse)
+        chain_info = None
+        if chain_cache is not None:
+            import os
+            if os.path.exists(chain_cache):
+                from ..runtime.checkpoint import load_chain_info
+                chain_info = load_chain_info(chain_cache)
+        if chain_info is None:
+            mesh1 = mesh_by_order.get(1) or mesh_builder(1)
+            chain_info = vertex_q1_hierarchy(mesh1, plane_shape, m_last,
+                                             dim, max_coarse=max_coarse)
+            if chain_cache is not None:
+                from ..runtime.checkpoint import save_chain_info
+                save_chain_info(chain_cache, chain_info)
         chain = pack_chain(chain_info, dtype=dtype)
 
         # per-group trilinear vertex->lattice factors: dense per-axis
@@ -652,7 +663,12 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
                     U, cur + val, idx, 0)
             return U.at[-1].add(val)
 
-        # ---- composite vector <-> per-group lattice views ----
+        # ---- composite fields are LISTS of per-group lattice arrays ----
+        # (never flattened/concatenated: 1-D<->3-D reshapes materialize
+        # layout copies far below HBM bandwidth — see solvers/krylov.py;
+        # the generic Krylov solvers operate on the list pytree directly).
+        # split/join exist only for consumers that need an assembled flat
+        # vector (the fem-amg oracle's CSR hierarchy).
         def split(vec):
             out = []
             off = 0
@@ -665,13 +681,9 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
             return jnp.concatenate([p.reshape(-1) for p in parts])
 
         # ---- composite operator: per-group batched SEM apply ----
-        def comp_operator(vec):
-            parts = split(vec)
-            out = []
-            for g, gd, U in zip(groups, groups_x, parts):
-                out.append(sem.stiffness_apply_lattice(U, gd["geom"],
-                                                       gd["D"], dim))
-            return join(out)
+        def comp_operator(parts):
+            return [sem.stiffness_apply_lattice(U, gd["geom"], gd["D"], dim)
+                    for gd, U in zip(groups_x, parts)]
 
         # ---- composite direct stiffness summation ----
         def plane_to_coarse(plane_f, of, oc):
@@ -682,8 +694,7 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
             J = Jx[(oc, of)]
             return interp.lattice_tensor_apply(plane_c, J, dim - 1)
 
-        def comp_dssum(vec, apply_mask=True):
-            parts = split(vec)
+        def comp_dssum(parts, apply_mask=True):
             # 1. collapse fine interface faces onto coarse planes (adjoint
             #    of the hanging-node constraints, subdomain.tpp:1496-1582)
             contrib_lo = [None] * G   # addition to group g's top plane
@@ -740,13 +751,10 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
                     final[gj] = final[gj].at[0].set(
                         a * fine + (1.0 - a) * summed[gj][0])
 
-            out_parts = []
-            for gi in range(G):
-                U = final[gi].reshape(-1)
-                if apply_mask:
-                    U = U * groups_x[gi]["mask"].reshape(-1)
-                out_parts.append(U)
-            return jnp.concatenate(out_parts)
+            if not apply_mask:
+                return final
+            return [U * gd["mask"]
+                    for U, gd in zip(final, groups_x)]
 
         # ---- composite inner products (rank-local, no psum:
         #      subdomain.tpp:4491-4557). Plain point-space dots: with the
@@ -755,22 +763,23 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
         #      W*S non-symmetric across cross-order interfaces and can
         #      drive <q, S q>_w negative -> NaN; observed at order 7<->1.)
         def comp_dot(a, b):
-            return jnp.dot(a, b, precision=jax.lax.Precision.HIGHEST)
+            return krylov.tree_dot(a, b)
 
         # ---- tree operator: outer residual -> composite RHS
         #      (subdomain.tpp:4566-4646) ----
         n_per_lvl = [o + 1 for o in orders]
 
         def tree_rhs(r):
-            # restriction cascade on the own slab (subdomain.okl:284-366)
-            r_lvl = [r.reshape(own_lat)]
+            # restriction cascade on the own slab (subdomain.okl:284-366);
+            # r arrives shaped (own lattice)
+            r_lvl = [r]
             for Jl in Jlvl_x:
                 r_lvl.append(interp.lattice_tensor_apply(
                     r_lvl[-1], Jl.T, dim))
 
             parts = [r_lvl[0]]  # group 0: own slab at order N
             if G == 1:
-                return join(parts)
+                return parts
 
             # rings above: cyclic ppermute from the shard above
             nsh = jax.lax.axis_size(ax) if ax is not None else 1
@@ -836,7 +845,7 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
                     block = jax.lax.ppermute(block, ax, up)
                 parts.append(block)
 
-            return join(parts)
+            return parts
 
         return {"split": split, "join": join,
                 "comp_operator": comp_operator, "comp_dssum": comp_dssum,
@@ -845,13 +854,13 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
 
     def comp_inv_diag_of(ops_c):
         """Continuous inverse assembled diagonal of the composite SEM
-        operator (matrix-free, exact for conforming nodes)."""
+        operator (matrix-free, exact for conforming nodes); a per-group
+        list like every composite field."""
         groups_x = ops_c["groups_x"]
-        diag = ops_c["join"]([
-            sem.stiffness_diagonal_lattice(gd["geom"], gd["D"], dim)
-            for gd in groups_x])
+        diag = [sem.stiffness_diagonal_lattice(gd["geom"], gd["D"], dim)
+                for gd in groups_x]
         diag_c = ops_c["comp_dssum"](diag, apply_mask=False)
-        return jnp.where(diag_c > 0, 1.0 / diag_c, 0.0)
+        return [jnp.where(d > 0, 1.0 / d, 0.0) for d in diag_c]
 
     vert_shape = (m_last + 1,) + tuple(ps + 1 for ps in plane_shape)
 
@@ -875,13 +884,11 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
             chain = amg_x["chain"]
             lmax0 = amg_x["lmax0"]
             comp_inv_diag = comp_inv_diag_of(ops_c)
-            comp_mask = join([gd["mask"].reshape(-1) for gd in groups_x])
 
             def A_mf(x):
                 return comp_dssum(comp_operator(x), apply_mask=True)
 
-            def restrict_to_vertex(r):
-                parts = split(r)
+            def restrict_to_vertex(parts):
                 acc = None
                 for gi in range(G):
                     U = parts[gi] * groups_x[gi]["weight"]
@@ -898,24 +905,26 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
                     V = axis_contract(amg_x["P1z"][gi], V0, 0)
                     for d, F in enumerate(amg_x["P1p"][gi]):
                         V = axis_contract(F, V, d + 1)
-                    outs.append(V.reshape(-1))
-                return jnp.concatenate(outs)
+                    outs.append(V * groups_x[gi]["mask"])
+                return outs
 
             def inner_precond(rr):
                 fc = comp_dssum(rr, apply_mask=True)
                 x = cheby_smooth(A_mf, comp_inv_diag, lmax0, fc, None,
                                  cheby_order)
                 for _ in range(num_vcycles):
-                    r = fc - A_mf(x)
+                    r = jax.tree.map(jnp.subtract, fc, A_mf(x))
                     v = chain_vcycle(chain, restrict_to_vertex(r),
                                      cheby_order=cheby_order)
-                    x = (x + prolong_from_vertex(v) * comp_mask)
+                    x = jax.tree.map(jnp.add, x, prolong_from_vertex(v))
                     x = cheby_smooth(A_mf, comp_inv_diag, lmax0, fc, x,
                                      cheby_order)
                 return x
         elif inner == "fem-amg":
             # the reference's low-order FEM AMG V-cycle (S12/S13,
-            # subdomain.tpp:3987-4159), all-device (amg/vcycle.py)
+            # subdomain.tpp:3987-4159), all-device (amg/vcycle.py). The
+            # assembled CSR hierarchy needs a flat composite vector, so
+            # this oracle path pays the split/join layout copies.
             from ..amg.vcycle import composite_preconditioner
             amg_apply = composite_preconditioner(
                 extra["amg"], cheby_order=cheby_order,
@@ -924,20 +933,22 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
                 [gd["mask"].reshape(-1) for gd in groups_x])
 
             def inner_precond(rr):
-                return amg_apply(rr) * comp_mask
+                return split(amg_apply(join(rr)) * comp_mask)
         elif inner == "jacobi":
             # continuous inverse assembled diagonal of the composite
             comp_inv_diag = comp_inv_diag_of(ops_c)
 
             def inner_precond(rr):
-                return comp_dssum(rr, apply_mask=True) * comp_inv_diag
+                return jax.tree.map(jnp.multiply,
+                                    comp_dssum(rr, apply_mask=True),
+                                    comp_inv_diag)
         else:
             # the reference's use_preconditioner=false bring-up mode
             # (subdomain.tpp:4192-4193): plain composite QQt
             def inner_precond(rr):
                 return comp_dssum(rr, apply_mask=True)
 
-        def precond(r):
+        def _solve_inner(r):
             # STYPE -> PTYPE cast at the tree-operator boundary
             # (copy_from_domain_data, subdomain.okl:268-274)
             f_comp = tree_rhs(r.astype(dtype))
@@ -948,12 +959,20 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
                 max_iterations=num_iterations,
                 num_vectors=num_iterations,
                 tolerance=0.0)
-            # extract the own-slab portion and cast back
+            # extract the own-slab group and cast back
             # (copy_to_domain_data, subdomain.okl:276-282); outer
             # stitching makes it continuous
-            z = res.u[:group_sizes[0]].astype(domain.dtype)
-            return dssum_f(z, apply_mask=True, apply_weight=True)
+            z = res.u[0].astype(domain.dtype)
+            return (dssum_f(z, apply_mask=True, apply_weight=True),
+                    res.residual_history)
 
+        def precond(r):
+            return _solve_inner(r)[0]
+
+        # inner-solve observability (the reference prints per-inner-
+        # iteration residuals, subdomain.tpp:4430): Domain.precond_probe
+        # jits this to expose one application's inner history
+        precond.probe = _solve_inner
         return precond
 
     if inner == "amg":
@@ -969,24 +988,35 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
             ops_c = make_ops(core_x)
             invd = comp_inv_diag_of(ops_c)
             groups_x = core_x["groups"]
-            join = ops_c["join"]
-            mask = join([gd["mask"].reshape(-1) for gd in groups_x])
-            w = join([gd["weight"].reshape(-1) for gd in groups_x])
-            n_tot = mask.shape[0]
-            x0 = jnp.sin(jnp.arange(n_tot, dtype=dtype) * 0.7311) * mask
+            tm = jax.tree.map
+            mask = [gd["mask"] for gd in groups_x]
+            w = [gd["weight"] for gd in groups_x]
+            off = 0
+            x0 = []
+            for gi, m in enumerate(mask):
+                sz = group_sizes[gi]
+                x0.append(jnp.sin(
+                    (jnp.arange(sz, dtype=dtype) + off)
+                    * 0.7311).reshape(m.shape) * m)
+                off += sz
+
+            def wdot(a, b):
+                return krylov.tree_dot(tm(jnp.multiply, w, a), b)
 
             def body(_, carry):
                 x, lam = carry
-                y = invd * ops_c["comp_dssum"](ops_c["comp_operator"](x),
-                                               apply_mask=True)
-                num = jnp.dot(y, w * y)
-                den = jnp.maximum(jnp.dot(x, w * x), 1e-30)
+                y = tm(jnp.multiply, invd,
+                       ops_c["comp_dssum"](ops_c["comp_operator"](x),
+                                           apply_mask=True))
+                num = wdot(y, y)
+                den = jnp.maximum(wdot(x, x), 1e-30)
                 lam = jnp.sqrt(num / den)
-                return (y / jnp.maximum(jnp.sqrt(num), 1e-30), lam)
+                scale = 1.0 / jnp.maximum(jnp.sqrt(num), 1e-30)
+                return (tm(lambda yl: scale * yl, y), lam)
 
             # seed lam from x0 so it carries the same shard-varying vma
             # type as the loop body's output (shard_map scan requirement)
-            lam0 = jnp.dot(x0, x0) * 0.0 + 1.0
+            lam0 = krylov.tree_dot(x0, x0) * 0.0 + 1.0
             _, lam = jax.lax.fori_loop(0, 20, body, (x0, lam0))
             return lam * 1.1    # safety: power iteration converges from below
 

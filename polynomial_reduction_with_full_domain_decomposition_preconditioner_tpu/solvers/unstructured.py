@@ -373,7 +373,7 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
             return jnp.concatenate(outs)
 
         def comp_dot(a, b):
-            return jnp.dot(a, b, precision=jax.lax.Precision.HIGHEST)
+            return krylov.tree_dot(a, b)
 
         def tree_rhs(r):
             # restriction cascade on the own elements (subdomain.okl:284-366)

@@ -61,5 +61,8 @@ def test_two_process_run_matches_single_process(tmp_path):
     assert rec["converged"]
     iters1, hist1 = _single_process_reference()
     assert rec["iterations"] == iters1, (rec["iterations"], iters1)
-    np.testing.assert_allclose(rec["history"], hist1, rtol=1e-9)
+    # atol floor: the final entries sit at machine zero where cross-
+    # process reduction-order noise is all that remains
+    np.testing.assert_allclose(rec["history"], hist1, rtol=1e-9,
+                               atol=1e-14)
     assert rec["err_local"] < 1e-7

@@ -221,3 +221,53 @@ def test_cli_phase_report_flag():
                             "--shape", "2,2,4", "--mesh", "box"])
     assert cfg.phase_report
     assert Config.from_json(cfg.to_json()) == cfg
+
+
+def test_checkpoint_skips_setup(tmp_path):
+    # second run with --checkpoint must reuse the mesh + chain artifacts
+    # and reproduce the identical history (SURVEY.md 5.4 extension)
+    import io
+    import time
+    from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.runtime.config import Config
+    from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.runtime.driver import run_simulation
+
+    cfg = Config(mesh="kershaw", shape=(4, 4, 4), poly_degree=3,
+                 poly_reduction=2, max_iterations=60,
+                 checkpoint=str(tmp_path))
+    t0 = time.time()
+    rec1 = run_simulation(cfg, out=io.StringIO())
+    t1 = time.time() - t0
+    files = list(tmp_path.iterdir())
+    assert any("mesh_" in f.name for f in files)
+    assert any("chain_" in f.name for f in files)
+    t0 = time.time()
+    rec2 = run_simulation(cfg, out=io.StringIO())
+    t2 = time.time() - t0
+    assert rec1["converged"] and rec2["converged"]
+    np.testing.assert_allclose(rec2["residual_history"],
+                               rec1["residual_history"], rtol=1e-12)
+    # setup phases must shrink on resume (mesh + chain loads vs builds);
+    # jit caching makes wall-clock noisy, so compare the setup timers
+    s1 = rec1["timers"]["setup.domain"]["total_s"] \
+        + rec1["timers"]["setup.preconditioner"]["total_s"]
+    s2 = rec2["timers"]["setup.domain"]["total_s"] \
+        + rec2["timers"]["setup.preconditioner"]["total_s"]
+    assert s2 < s1, (s1, s2)
+
+
+def test_inner_history_probe():
+    import io
+    from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.runtime.config import Config
+    from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.runtime.driver import run_simulation
+
+    out = io.StringIO()
+    cfg = Config(mesh="kershaw", shape=(4, 4, 8), poly_degree=3,
+                 poly_reduction=2, max_iterations=60, num_shards=4,
+                 inner_history=True)
+    rec = run_simulation(cfg, out=out)
+    text = out.getvalue()
+    assert rec["converged"]
+    assert "inner iteration:   0" in text
+    assert "inner iteration:   4" in text  # 4 fixed inner iterations
+    # per-shard timing vectors in the reference's report schema
+    assert "mean:" in text and "[ " in text
