@@ -23,7 +23,8 @@ import jax.numpy as jnp
 import scipy.sparse as sp
 
 __all__ = ["assemble_csr", "EllMatrix", "ell_from_csr", "ell_spmv",
-           "ell_spmv_range", "ell_spmv_weight"]
+           "ell_spmv_range", "ell_spmv_weight", "BsrMatrix",
+           "bsr_from_csr", "bsr_stack", "bsr_spmv"]
 
 
 def assemble_csr(rows, cols, vals, shape, drop_tol: float = 0.0):
@@ -113,3 +114,100 @@ def ell_spmv_weight(m: EllMatrix, x, weight):
     """Diagonally-weighted SpMV: y = diag(weight) A x
     (csr_matrix.okl:35-48 ``multiply_weight``)."""
     return weight * ell_spmv(m, x)
+
+
+# ---------------------------------------------------------------------------
+# BSR: block-sparse rows with dense blocks — the production sparse kernel.
+#
+# The plain ELL SpMV gathers x[cols] elementwise, which XLA lowers to
+# ~0.1 Gnnz/s on TPU (and giant gathers have faulted the runtime). The
+# BSR form replaces it with TPU-native primitives: the only gather is a
+# take of CONTIGUOUS x row-blocks (nb, B), the products are one batched
+# (B, B) x (B,) matvec einsum (bandwidth-bound on the block values), and
+# the row reduction is a sorted segment-sum. For mesh matrices in a
+# locality-preserving ordering the stored-block fill is high enough that
+# the effective rate is bandwidth-limited — measured well beyond the
+# >= 1 Gnnz/s target (BASELINE.md). The reference's cuSPARSE CSR SpMV
+# role (AMG/csr_matrix.cpp:112-134) for irregular matrices.
+
+
+from dataclasses import field
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class BsrMatrix:
+    """Block-sparse-row matrix with dense (B, B) blocks on device.
+    Shape metadata is static (pytree-transparent)."""
+    vals: jax.Array       # (nb, B, B); stacked: (P, nb, B, B)
+    bcols: jax.Array      # (nb,) int32 block-column ids
+    brows: jax.Array      # (nb,) int32 block-row ids, sorted ascending
+    n_rows: int = field(metadata=dict(static=True), default=0)
+    n_cols: int = field(metadata=dict(static=True), default=0)
+
+    @property
+    def block(self) -> int:
+        return self.vals.shape[-1]
+
+
+def _bsr_arrays(m: sp.csr_matrix, block: int, dtype):
+    n_rows, n_cols = m.shape
+    nrb = -(-n_rows // block)
+    ncb = -(-n_cols // block)
+    mp = sp.csr_matrix(m)
+    mp.resize((nrb * block, ncb * block))
+    mb = sp.bsr_matrix(mp, blocksize=(block, block))
+    mb.sort_indices()
+    brows = np.repeat(np.arange(nrb, dtype=np.int32),
+                      np.diff(mb.indptr)).astype(np.int32)
+    return (np.asarray(mb.data, dtype=dtype),
+            mb.indices.astype(np.int32), brows)
+
+
+def bsr_from_csr(m: sp.csr_matrix, block: int = 16,
+                 dtype=np.float32) -> BsrMatrix:
+    """CSR -> device BSR, padding the shape up to a block multiple."""
+    vals, bcols, brows = _bsr_arrays(m, block, dtype)
+    return BsrMatrix(vals=jnp.asarray(vals), bcols=jnp.asarray(bcols),
+                     brows=jnp.asarray(brows),
+                     n_rows=m.shape[0], n_cols=m.shape[1])
+
+
+def bsr_stack(mats: list[sp.csr_matrix], block: int = 16,
+              dtype=np.float32) -> BsrMatrix:
+    """Stack same-shape per-shard CSRs into one BSR with a leading shard
+    axis (block patterns padded to the max count; pad blocks are zeros on
+    the last block row, keeping brows sorted)."""
+    n_rows, n_cols = mats[0].shape
+    nrb = -(-n_rows // block)
+    parts = [_bsr_arrays(m, block, dtype) for m in mats]
+    nb = max(v.shape[0] for v, _, _ in parts)
+    P = len(parts)
+    vals = np.zeros((P, nb, block, block), dtype=dtype)
+    bcols = np.zeros((P, nb), dtype=np.int32)
+    brows = np.full((P, nb), max(nrb - 1, 0), dtype=np.int32)
+    for p, (v, c, r) in enumerate(parts):
+        k = v.shape[0]
+        vals[p, :k] = v
+        bcols[p, :k] = c
+        brows[p, :k] = r
+    return BsrMatrix(vals=jnp.asarray(vals), bcols=jnp.asarray(bcols),
+                     brows=jnp.asarray(brows),
+                     n_rows=n_rows, n_cols=n_cols)
+
+
+def bsr_spmv(mat: BsrMatrix, x):
+    """y = A x via contiguous block takes + batched matvec + sorted
+    segment sum. x has the ORIGINAL column count; returns original rows."""
+    B = mat.block
+    nrb = -(-mat.n_rows // B)
+    ncb = -(-mat.n_cols // B)
+    pad = ncb * B - mat.n_cols
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad,), x.dtype)])
+    xb = x.reshape(ncb, B)
+    prod = jnp.einsum("kij,kj->ki", mat.vals, xb[mat.bcols],
+                      precision=jax.lax.Precision.HIGHEST)
+    y = jax.ops.segment_sum(prod, mat.brows, num_segments=nrb,
+                            indices_are_sorted=True)
+    return y.reshape(-1)[:mat.n_rows]
