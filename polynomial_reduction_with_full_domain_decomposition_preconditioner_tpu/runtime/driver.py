@@ -115,19 +115,28 @@ def run_simulation(cfg: Config, out=sys.stdout) -> dict:
                        max_iterations=cfg.max_iterations,
                        num_vectors=cfg.num_vectors,
                        tolerance=cfg.tolerance)
-    with timer("solve.compile"):
+    # timing discipline: block_until_ready can return before execution
+    # completes on tunneled devices — force completion with a host fetch
+    # of a solve output instead (BASELINE.md measurement methodology)
+    def _run_once():
         res = solve(f)
-        jax.block_until_ready(res.u)
-    # best-of-3 for the timed run: single-shot short solves are dominated
-    # by dispatch/sync noise (the epsilon-1.0 sweep artifact recorded a
-    # physically implausible 0.3 ms this way)
+        int(res.iterations)
+        return res
+
+    with timer("solve.compile"):
+        res = _run_once()
+    # best-of-3 with the dispatch+fetch overhead subtracted (a second
+    # fetch of the already-materialized result times only the overhead)
     import time as _time
     best = float("inf")
     for _ in range(3):
         t0 = _time.perf_counter()
-        res = solve(f)
-        jax.block_until_ready(res.u)
-        best = min(best, _time.perf_counter() - t0)
+        res = _run_once()
+        total = _time.perf_counter() - t0
+        t0 = _time.perf_counter()
+        int(res.iterations)
+        overhead = _time.perf_counter() - t0
+        best = min(best, max(total - overhead, 0.0))
     timer.record("solve.run", best)
 
     hist = np.asarray(res.residual_history)

@@ -243,6 +243,43 @@ class Domain:
                     axis_name=axis, apply_mask=apply_mask,
                     apply_weight=apply_weight)
 
+        op_dssum = None
+        if (st.structured is not None and self.spmd and not self.ragged
+                and st.structured.slab_elems >= 3):
+            # comm/compute overlap (SURVEY 2.4 north star — the reference's
+            # gslib exchange is blocking host-side, domain.tpp:590-594):
+            # compute the boundary element layers FIRST, launch the slab
+            # ppermute on their xy-summed outer planes, then run the big
+            # interior apply — XLA's async collectives overlap the
+            # exchange with the interior compute. Bitwise-equal to
+            # operator + dssum (tests pin it); z-splits are element-
+            # aligned so the layer applies are exact.
+            n_ = st.poly_degree + 1
+            nsh = st.num_shards
+
+            def op_dssum(z, apply_mask=True):
+                Au_lo = sem.stiffness_apply_lattice(
+                    z[:n_], arrays.geom[:n_], arrays.D, self.dim)
+                Au_hi = sem.stiffness_apply_lattice(
+                    z[-n_:], arrays.geom[-n_:], arrays.D, self.dim)
+                pl_axes = tuple(range(self.dim - 1))
+                plane_lo = gs.lattice_face_sum(Au_lo[0], n_, axes=pl_axes)
+                plane_hi = gs.lattice_face_sum(Au_hi[-1], n_, axes=pl_axes)
+                up = [(i, i + 1) for i in range(nsh - 1)]
+                down = [(i + 1, i) for i in range(nsh - 1)]
+                from_below = jax.lax.ppermute(plane_hi, axis, up)
+                from_above = jax.lax.ppermute(plane_lo, axis, down)
+                # the big interior apply: independent of the permutes
+                Au_mid = sem.stiffness_apply_lattice(
+                    z[n_:-n_], arrays.geom[n_:-n_], arrays.D, self.dim)
+                q = jnp.concatenate([Au_lo, Au_mid, Au_hi], axis=0)
+                U = gs.lattice_face_sum(q, n_)
+                U = U.at[0].add(from_below)
+                U = U.at[-1].add(from_above)
+                if apply_mask:
+                    U = U * arrays.mask
+                return q, U
+
         def dot(a, b):
             # pytree/stacked-aware global inner product (krylov contract)
             return krylov.tree_dot(a, b, axis_name=axis)
@@ -252,6 +289,7 @@ class Domain:
             v = gs.psum_scalar(v, axis)
             return v[0], v[1]
 
+        operator.fused_dssum = op_dssum
         return operator, dssum, dot, dot2
 
     # ---- solvers ----
@@ -270,7 +308,8 @@ class Domain:
                             is_leaf=lambda s: isinstance(s, P))
 
     def _solve_impl(self, arrays, extra, f, *, precond_builder, method,
-                    max_iterations, num_vectors, tolerance, use_relative):
+                    max_iterations, num_vectors, tolerance, use_relative,
+                    overlap=True):
         operator, dssum, dot, dot2 = self._ops(arrays)
         dssum_plain = lambda r: dssum(r, apply_mask=True, apply_weight=False)
         if precond_builder is None:
@@ -285,16 +324,19 @@ class Domain:
                               max_iterations=max_iterations,
                               tolerance=tolerance, use_relative=use_relative)
         if method == "fgmres":
+            fused = getattr(operator, "fused_dssum", None) if overlap \
+                else None
             return krylov.fgmres(operator, precond, dssum_plain, dot, f,
                                  max_iterations=max_iterations,
                                  num_vectors=num_vectors,
                                  tolerance=tolerance,
-                                 use_relative=use_relative)
+                                 use_relative=use_relative,
+                                 op_dssum=fused)
         raise ValueError(f"unknown method {method!r}")
 
     def solver(self, method="fcg", precond=None, precond_builder=None,
                max_iterations=500, num_vectors=20, tolerance=None,
-               use_relative=True):
+               use_relative=True, overlap=True):
         """Build a jitted solve function f -> KrylovResult.
 
         precond: a Preconditioner (solvers/preconditioners.py) carrying its
@@ -302,6 +344,9 @@ class Domain:
           'unpreconditioned' QQt path, domain.tpp:650,801).
         precond_builder: legacy shorthand — a bare builder with no extra
           arrays: builder(arrays, None, ops) -> (r -> z).
+        overlap: use the fused boundary-first operator+dssum in FGMRES so
+          the slab exchange overlaps the interior compute (numerically
+          identical; active for uniform structured SPMD partitions).
         """
         if tolerance is None:
             tolerance = 1.0e-7 if self.dtype == jnp.float64 else 1.0e-4
@@ -318,7 +363,7 @@ class Domain:
         impl = partial(self._solve_impl, precond_builder=builder,
                        method=method, max_iterations=max_iterations,
                        num_vectors=num_vectors, tolerance=tolerance,
-                       use_relative=use_relative)
+                       use_relative=use_relative, overlap=overlap)
         if self.spmd:
             mesh = self.device_mesh
             ax = self.axis_name

@@ -178,12 +178,16 @@ def fcg(operator, precond, dssum_plain, dot, dot2, f, *,
 
 def fgmres(operator, precond, dssum_plain, dot, f, *,
            max_iterations: int, num_vectors: int = 20,
-           tolerance: float, use_relative: bool = True):
+           tolerance: float, use_relative: bool = True, op_dssum=None):
     """Restarted flexible GMRES(m), mirroring domain.tpp:727-914.
 
     Basis vectors are stored stacked per pytree leaf (m+1, ...) so
     projections and updates are single MXU contractions. Givens rotations
     / the triangular solve run as masked fixed-length loops on scalars.
+
+    op_dssum: optional fused z -> (A z, QQt A z) closure that overlaps the
+    boundary exchange with the interior operator compute (Domain._ops);
+    must be numerically identical to operator + dssum_plain.
     """
     m = num_vectors
     dtype = jax.tree.leaves(f)[0].dtype
@@ -244,9 +248,12 @@ def fgmres(operator, precond, dssum_plain, dot, f, *,
             def step(args):
                 V, Z, H, gam, c, s, it, hist = args
                 z = precond(_row(V, j))
-                q = operator(z)
+                if op_dssum is None:
+                    q = operator(z)
+                    qq = dssum_plain(q)
+                else:
+                    q, qq = op_dssum(z)
                 Z_new = _set_row(Z, j, z)
-                qq = dssum_plain(q)
                 h = proj_dots(V, qq, j)
                 q = _sub(q, _contract_rows(h, V))
                 # recompute the projected norm on the orthogonalized q

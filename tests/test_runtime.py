@@ -240,19 +240,24 @@ def test_checkpoint_skips_setup(tmp_path):
     files = list(tmp_path.iterdir())
     assert any("mesh_" in f.name for f in files)
     assert any("chain_" in f.name for f in files)
-    t0 = time.time()
-    rec2 = run_simulation(cfg, out=io.StringIO())
-    t2 = time.time() - t0
+    # deterministic reuse evidence: the second run must never call the
+    # mesh generator or the vertex-chain builder (wall-clock comparisons
+    # are noise-bound at this test size)
+    from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.mesh import generator as mg
+    from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.amg import composite as amgc
+
+    def _boom(*a, **k):
+        raise AssertionError("setup was not skipped on checkpoint resume")
+
+    saved = (mg.kershaw_mesh, amgc.vertex_q1_hierarchy)
+    mg.kershaw_mesh, amgc.vertex_q1_hierarchy = _boom, _boom
+    try:
+        rec2 = run_simulation(cfg, out=io.StringIO())
+    finally:
+        mg.kershaw_mesh, amgc.vertex_q1_hierarchy = saved
     assert rec1["converged"] and rec2["converged"]
     np.testing.assert_allclose(rec2["residual_history"],
                                rec1["residual_history"], rtol=1e-12)
-    # setup phases must shrink on resume (mesh + chain loads vs builds);
-    # jit caching makes wall-clock noisy, so compare the setup timers
-    s1 = rec1["timers"]["setup.domain"]["total_s"] \
-        + rec1["timers"]["setup.preconditioner"]["total_s"]
-    s2 = rec2["timers"]["setup.domain"]["total_s"] \
-        + rec2["timers"]["setup.preconditioner"]["total_s"]
-    assert s2 < s1, (s1, s2)
 
 
 def test_inner_history_probe():

@@ -136,3 +136,25 @@ def test_iteration_count_stable_weak_scaling():
         counts[P] = int(res.iterations)
     # measured 5/6/6 at P=2/4/8: allow one extra iteration of headroom
     assert max(counts.values()) <= min(counts.values()) + 2, counts
+
+
+def test_overlap_fused_operator_matches():
+    # FGMRES with the fused boundary-first operator + slab exchange
+    # (comm/compute overlap, SURVEY 2.4 north star) must reproduce the
+    # sequential operator->dssum path exactly
+    mesh = mg.box_mesh((2, 2, 12), 3, extent=(1.0, 1.0, 6.0))
+    sd = partition_mesh(mesh, 4)
+    dom = Domain(sd, dtype=jnp.float64,
+                 device_mesh=jax.make_mesh((4,), ("shard",)))
+    u_star = dom.initial_function(4, seed=2)
+    f = dom.manufacture_rhs(u_star)
+    r_ov = dom.solver(method="fgmres", max_iterations=60, tolerance=1e-8,
+                      overlap=True)(f)
+    r_sq = dom.solver(method="fgmres", max_iterations=60, tolerance=1e-8,
+                      overlap=False)(f)
+    assert int(r_ov.iterations) == int(r_sq.iterations)
+    h1 = np.asarray(r_ov.residual_history)
+    h2 = np.asarray(r_sq.residual_history)
+    k = np.isfinite(h1).sum()
+    # chunked-batch einsum tiling differs at machine eps; identical math
+    np.testing.assert_allclose(h1[:k], h2[:k], rtol=1e-9)
