@@ -21,7 +21,8 @@ import scipy.sparse as sp
 
 from .composite import _power_lmax, _mask_fold
 
-__all__ = ["q1_vertex_matrix", "aggregation_chain", "pack_level_chain"]
+__all__ = ["q1_vertex_matrix", "aggregation_chain", "pack_level_chain",
+           "q1_vertex_matrix_subset", "superdomain_basis"]
 
 
 def q1_vertex_matrix(mesh1) -> tuple[sp.csr_matrix, np.ndarray]:
@@ -75,6 +76,59 @@ def q1_vertex_matrix(mesh1) -> tuple[sp.csr_matrix, np.ndarray]:
     vmask = np.ones(nv)
     vmask[ids[mesh1.dirichlet_mask < 0.5]] = 0.0
     return _mask_fold(A, vmask), vmask
+
+
+def q1_vertex_matrix_subset(mesh1, elems) -> sp.csr_matrix:
+    """Q1 vertex stiffness assembled over a SUBSET of elements (global
+    vertex numbering, no Dirichlet fold) — the per-shard superdomain
+    operator source (the reference restricts the global coarse matrix to
+    the superdomain rows, subdomain.tpp:2401-2452)."""
+    import dataclasses
+    sub = dataclasses.replace(
+        mesh1,
+        coords=mesh1.coords[elems], glo_num=mesh1.glo_num[elems],
+        node_degree=mesh1.node_degree[elems],
+        dirichlet_mask=np.ones_like(mesh1.dirichlet_mask[elems]),
+        geom=mesh1.geom[elems], mass=mesh1.mass[elems])
+    A, _ = q1_vertex_matrix(sub)
+    nv = mesh1.num_nodes
+    A.resize((nv, nv))
+    return A.tocsr()
+
+
+def superdomain_basis(A_sup: sp.csr_matrix, keep_fine: np.ndarray,
+                      deep: np.ndarray, omega: float = 2.0 / 3.0,
+                      theta: float = 0.08) -> sp.csr_matrix:
+    """Composite superdomain prolongation P (nv x ns): identity columns on
+    the kept-fine vertices + smoothed-aggregation columns (restricted to
+    deep rows) for the deep far field — the TPU-native rebuild of the
+    reference's AMG-as-graph-oracle composite prolongation
+    (subdomain.tpp:1860-2392: BoomerAMG level interpolants composed and
+    truncated outside the overlap). Here the aggregation of the
+    superdomain operator IS the graph oracle and truncation = restricting
+    aggregate columns to deep rows."""
+    nv = A_sup.shape[0]
+    agg, na = _aggregate(A_sup, deep.copy(), theta=theta)
+    sel = agg >= 0
+    P0 = sp.csr_matrix(
+        (np.ones(int(sel.sum())), (np.flatnonzero(sel), agg[sel])),
+        shape=(nv, na))
+    if na:
+        lmax = _power_lmax(A_sup + sp.eye(nv) * 1e-12)
+        d = A_sup.diagonal()
+        with np.errstate(divide="ignore"):
+            invd = sp.diags(np.where(d != 0, 1.0 / d, 0.0))
+        P0 = (P0 - (omega / lmax) * (invd @ (A_sup @ P0))).tocsr()
+        # truncate to deep rows (no coupling growth into the kept-fine
+        # zone, the reference's outside-overlap truncation)
+        mask = sp.diags(deep.astype(float))
+        P0 = (mask @ P0).tocsr()
+        P0.eliminate_zeros()
+    fine_idx = np.flatnonzero(keep_fine)
+    I_f = sp.csr_matrix(
+        (np.ones(fine_idx.size), (fine_idx, np.arange(fine_idx.size))),
+        shape=(nv, fine_idx.size))
+    return sp.hstack([I_f, P0], format="csr"), fine_idx
 
 
 def _aggregate(A: sp.csr_matrix, active: np.ndarray, theta: float = 0.08):
@@ -140,7 +194,8 @@ def aggregation_chain(A0: sp.csr_matrix, vmask: np.ndarray,
             shape=(A.shape[0], na))
         lmax = _power_lmax(A)
         d = A.diagonal()
-        invd = sp.diags(np.where(d != 0, 1.0 / d, 0.0))
+        with np.errstate(divide="ignore"):
+            invd = sp.diags(np.where(d != 0, 1.0 / d, 0.0))
         # Jacobi-smoothed prolongation: P = (I - omega/lmax D^-1 A) P0
         P = (P0 - (omega / lmax) * (invd @ (A @ P0))).tocsr()
         Ac = (P.T @ A @ P).tocsr()

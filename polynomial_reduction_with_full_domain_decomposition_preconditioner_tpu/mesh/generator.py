@@ -428,9 +428,13 @@ def _rotation_node_perm(perm, flips, n: int, dim: int) -> np.ndarray:
     return out
 
 
-def scramble_mesh(mesh: GlobalMesh, seed: int = 0) -> GlobalMesh:
+def scramble_mesh(mesh: GlobalMesh, seed: int = 0,
+                  permute: bool = True) -> GlobalMesh:
     """Destroy the structured element layout: random element permutation +
-    a random proper rotation of every element's local frame.
+    a random proper rotation of every element's local frame. With
+    permute=False only the local frames rotate — elements keep their
+    spatial order, so contiguous partitions stay localized (like real
+    Nek5000 partitions) while neighbor orientations are still arbitrary.
 
     The result is a genuinely unstructured-connectivity hex mesh (like the
     reference's Nek5000 pebble-bed exports, run.py:51-79, where neighbor
@@ -447,7 +451,7 @@ def scramble_mesh(mesh: GlobalMesh, seed: int = 0) -> GlobalMesh:
     n = mesh.poly_degree + 1
     E = mesh.num_elements
     rng = np.random.default_rng(seed)
-    elem_perm = rng.permutation(E)
+    elem_perm = rng.permutation(E) if permute else np.arange(E)
     rots = _proper_rotations(dim)
     rot_choice = rng.integers(0, len(rots), size=E)
 

@@ -261,6 +261,7 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
         return composite_dd_unstructured(
             domain, mesh_builder, poly_reduction,
             subdomain_overlap=subdomain_overlap,
+            superdomain_overlap=superdomain_overlap,
             num_iterations=num_iterations, inner=inner,
             num_vcycles=num_vcycles, cheby_order=cheby_order,
             ptype=ptype, max_coarse=max_coarse, fine_mesh=fine_mesh)

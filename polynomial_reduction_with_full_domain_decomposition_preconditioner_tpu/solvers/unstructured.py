@@ -82,13 +82,15 @@ def _class_setup(mesh_o, elems, E_pad):
 
 def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
                               subdomain_overlap: int = 1,
+                              superdomain_overlap: int = 1,
                               num_iterations: int = 4,
                               inner: str = "jacobi",
                               num_vcycles: int = 1,
                               cheby_order: int = 2,
                               ptype=None,
                               max_coarse: int = 600,
-                              fine_mesh=None) -> Preconditioner:
+                              fine_mesh=None,
+                              far_compress="auto") -> Preconditioner:
     """Composite preconditioner for generic (non-slab) partitions.
 
     Same contract as solvers.subdomain.composite_dd; ``mesh_builder(o)``
@@ -134,6 +136,7 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
     #      order N, slots [0, E_pad) = the own block in partition order) ----
     C = L                                   # one class per level order
     class_elems = [[] for _ in range(C)]    # [class][shard] -> ids w/ -1
+    region_sets, far_sets = [], []
     for p in range(Pn):
         own = np.arange(bounds[p], bounds[p + 1])
         rings, far = gr.grow_regions(adj, own, L, overlap=V)
@@ -142,12 +145,33 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
         class_elems[0].append(np.concatenate([own_padded, rings[0]]))
         for l in range(1, L - 1):
             class_elems[l].append(rings[l])
-        # coarsest class: ring L-1 + far (both order 1); L == 1 puts
-        # everything in class 0
+        region_sets.append((own, rings))
+        far_sets.append(far)
+
+    # superdomain compression (the reference's S10 composite prolongation,
+    # subdomain.tpp:1860-2579): when the far field is large, represent it
+    # algebraically — kept-fine vertices near the rings + smoothed
+    # aggregates for the deep far field — instead of carrying every far
+    # element. The structure must be identical across shards (SPMD).
+    if far_compress == "auto":
+        compress = (L > 1
+                    and min(f.size for f in far_sets) >= 128
+                    and not any(f.size == 0 for f in far_sets))
+    else:
+        compress = bool(far_compress) and L > 1 \
+            and not any(f.size == 0 for f in far_sets)
+
+    for p in range(Pn):
+        own, rings = region_sets[p]
+        far = far_sets[p]
         if L > 1:
-            class_elems[L - 1].append(np.concatenate([rings[L - 1], far]))
+            ring_last = rings[L - 1]
+            if compress:
+                class_elems[L - 1].append(ring_last)
+            else:
+                class_elems[L - 1].append(np.concatenate([ring_last, far]))
         else:
-            class_elems[0][-1] = np.concatenate([class_elems[0][-1], far])
+            class_elems[0][p] = np.concatenate([class_elems[0][p], far])
 
     # pad class element lists to the max count over shards
     for c in range(C):
@@ -238,6 +262,106 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
                 wts_a[p, :k] = per_wts[p]
         slaves.append({"ids": ids_a, "cols": cols_a, "wts": wts_a})
 
+    # ---- superdomain compression setup (S10): per-shard algebraic far
+    #      field. Each far element's Q1 contribution lands exactly once in
+    #      the composite (SEM classes carry own+rings, A_sup carries far);
+    #      superdomain_overlap element layers of the far zone keep fine
+    #      vertex DOFs, the deep rest is aggregated. ----
+    sup = None
+    if compress:
+        import scipy.sparse as sp
+        from ..amg.aggregation import (q1_vertex_matrix_subset,
+                                       superdomain_basis)
+        from ..amg.composite import _mask_fold
+        vmask_glob = np.ones(nv)
+        vmask_glob[mesh1.glo_num[mesh1.dirichlet_mask < 0.5]] = 0.0
+        degree_v = np.bincount(verts.ravel(), minlength=nv).astype(float)
+
+        per = []
+        for p in range(Pn):
+            own, rings = region_sets[p]
+            far = far_sets[p]
+            region = np.concatenate([own] + list(rings))
+            # kept-fine far layers: superdomain_overlap adjacency steps
+            reg_mask = np.zeros(adj.shape[0], dtype=bool)
+            reg_mask[region] = True
+            grown = reg_mask.copy()
+            for _ in range(max(superdomain_overlap, 1)):
+                grown |= (adj @ grown.astype(np.int8)).astype(bool)
+            far_mask = np.zeros(adj.shape[0], dtype=bool)
+            far_mask[far] = True
+            ov_elems = np.flatnonzero(grown & far_mask)
+
+            in_far = np.zeros(nv, dtype=bool)
+            in_far[verts[far].ravel()] = True
+            keep_fine = np.zeros(nv, dtype=bool)
+            keep_fine[verts[ov_elems].ravel()] = True
+            keep_fine &= in_far
+            deep = in_far & ~keep_fine & (vmask_glob > 0.5)
+
+            A_far = _mask_fold(q1_vertex_matrix_subset(mesh1, far),
+                               vmask_glob)
+            P_sup, fine_idx = superdomain_basis(A_far, keep_fine, deep)
+            A_sup = (P_sup.T @ A_far @ P_sup).tocsr()
+            # interface vertices shared with the coarsest SEM class
+            lc = cls_setups[C - 1][p]["lookup"]
+            iface = [(lc[int(v)], k) for k, v in enumerate(fine_idx)
+                     if int(v) in lc]
+            mask_sup = np.ones(P_sup.shape[1])
+            mask_sup[:fine_idx.size] = vmask_glob[fine_idx]
+            # vertex-restriction weight: fraction of the vertex's elements
+            # that live in the far zone (the far field's share of the
+            # global vertex residual)
+            far_deg = np.bincount(verts[far].ravel(), minlength=nv)
+            wrest = np.ones(P_sup.shape[1])
+            wrest[:fine_idx.size] = far_deg[fine_idx] / degree_v[fine_idx]
+            per.append({
+                "A": A_sup, "P": P_sup, "mask": mask_sup, "wrest": wrest,
+                "iface": iface, "far": far,
+            })
+
+        ns = max(d["A"].shape[0] for d in per)
+        Ef = max(d["far"].size for d in per)
+        Ni = max(len(d["iface"]) for d in per)
+        A_pad, P_pad, Pt_pad = [], [], []
+        mask_a = np.zeros((Pn, ns))
+        wrest_a = np.zeros((Pn, ns))
+        diag_a = np.zeros((Pn, ns))
+        ifc_a = np.full((Pn, Ni), classes[C - 1]["NN"], dtype=np.int32)
+        ifs_a = np.full((Pn, Ni), ns, dtype=np.int32)
+        sup_src = np.zeros((Pn, Ef), dtype=np.int32)
+        sup_valid = np.zeros((Pn, Ef))
+        sup_vids = np.full((Pn, Ef, 2 ** dim), nv, dtype=np.int32)
+        for p, d in enumerate(per):
+            k = d["A"].shape[0]
+            A = sp.csr_matrix(d["A"])
+            A.resize((ns, ns))
+            A_pad.append(A)
+            Pm = sp.csr_matrix(d["P"])
+            Pm.resize((nv, ns))
+            P_pad.append(Pm)
+            Pt_pad.append(Pm.T.tocsr())
+            mask_a[p, :k] = d["mask"]
+            wrest_a[p, :k] = d["wrest"]
+            diag_a[p, :k] = d["A"].diagonal()
+            for j, (ci, si) in enumerate(d["iface"]):
+                ifc_a[p, j] = ci
+                ifs_a[p, j] = si
+            f = d["far"]
+            sup_src[p, :f.size] = owner_of[f] * E_pad + slot_of[f]
+            sup_valid[p, :f.size] = 1.0
+            sup_vids[p, :f.size] = verts[f]
+        from ..ops.csr import bsr_stack
+        sup = {
+            "A": bsr_stack(A_pad, dtype=dtype),
+            "P": bsr_stack(P_pad, dtype=dtype),
+            "Pt": bsr_stack(Pt_pad, dtype=dtype),
+            "mask": mask_a, "wrest": wrest_a, "diag": diag_a,
+            "ifc": ifc_a, "ifs": ifs_a,
+            "src": sup_src, "valid": sup_valid, "vids": sup_vids,
+            "ns": ns,
+        }
+
     # ---- device pytree ----
     sq = (lambda x: x) if domain.spmd else (lambda x: x[0])
     extra = {
@@ -260,9 +384,26 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
                                            orders[i] + 1), dtype=dtype)
                  for i in range(L - 1)],
     }
+    if sup is not None:
+        extra["sup"] = {
+            "A": sup["A"] if domain.spmd else jax.tree.map(
+                lambda x: x[0], sup["A"]),
+            "P": sup["P"] if domain.spmd else jax.tree.map(
+                lambda x: x[0], sup["P"]),
+            "Pt": sup["Pt"] if domain.spmd else jax.tree.map(
+                lambda x: x[0], sup["Pt"]),
+            "mask": jnp.asarray(sq(sup["mask"]), dtype=dtype),
+            "wrest": jnp.asarray(sq(sup["wrest"]), dtype=dtype),
+            "diag": jnp.asarray(sq(sup["diag"]), dtype=dtype),
+            "ifc": jnp.asarray(sq(sup["ifc"])),
+            "ifs": jnp.asarray(sq(sup["ifs"])),
+            "src": jnp.asarray(sq(sup["src"])),
+            "valid": jnp.asarray(sq(sup["valid"]), dtype=dtype),
+            "vids": jnp.asarray(sq(sup["vids"])),
+        }
 
     def core_specs(ax):
-        return {
+        specs = {
             "classes": [{"gids": P(ax), "nmask": P(ax), "geom": P(ax),
                          "src": P(ax), "valid": P(ax), "vids": P(ax),
                          "pw": P(ax), "D": P()}
@@ -271,6 +412,9 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
                     for _ in slaves],
             "Jlvl": [P() for _ in extra["Jlvl"]],
         }
+        if sup is not None:
+            specs["sup"] = jax.tree.map(lambda _: P(ax), extra["sup"])
+        return specs
 
     amg_pack = None
     if inner == "amg":
@@ -330,29 +474,28 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
         cls_x = extra_x["classes"]
         slv_x = extra_x["slv"]
         Jlvl_x = extra_x["Jlvl"]
+        sup_x = extra_x.get("sup")
 
-        def split(vec):
-            out, off = [], 0
-            for sz, shp in zip(cls_sizes, cls_shapes):
-                out.append(vec[off:off + sz].reshape(shp))
-                off += sz
+        # Composite fields are LISTS: one (E_c, npe_c) block per order
+        # class, plus the algebraic superdomain DOF vector when the far
+        # field is compressed (the reference's split operator apply:
+        # batched SEM on the subdomain + CSR SpMV on the superdomain,
+        # subdomain.tpp:3942-3967). The generic Krylov solvers consume the
+        # list pytree directly — nothing is concatenated.
+        from ..ops.csr import bsr_spmv
+
+        def comp_operator(parts):
+            out = [sem.stiffness_apply(U, cx["geom"], cx["D"], dim)
+                   for U, cx in zip(parts, cls_x)]
+            if sup_x is not None:
+                out.append(bsr_spmv(sup_x["A"], parts[C]))
             return out
 
-        def join(parts):
-            return jnp.concatenate([x.reshape(-1) for x in parts])
-
-        def comp_operator(vec):
-            parts = split(vec)
-            return join([
-                sem.stiffness_apply(U, cx["geom"], cx["D"], dim)
-                for U, cx in zip(parts, cls_x)])
-
-        def comp_dssum(vec, apply_mask=True):
-            parts = split(vec)
+        def comp_dssum(parts, apply_mask=True):
             # scatter to per-class assembled nodes
             ws = []
             for c in range(C):
-                w = jnp.zeros((NNs[c] + 1,), dtype=vec.dtype)
+                w = jnp.zeros((NNs[c] + 1,), dtype=parts[c].dtype)
                 ws.append(w.at[cls_x[c]["gids"]].add(
                     parts[c].reshape(-1), mode="drop"))
             # collapse slaved fine nodes onto the coarse trace, fine->coarse
@@ -361,6 +504,17 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
                 s = slv_x[c]
                 contrib = s["wts"] * ws[c][s["ids"]][:, None]
                 ws[c + 1] = ws[c + 1].at[s["cols"]].add(contrib, mode="drop")
+            w_sup = None
+            if sup_x is not None:
+                # interface stitching with the superdomain's kept-fine
+                # vertices (S11, subdomain.tpp:2581-2747): both sides of a
+                # shared vertex take the summed value
+                w_sup = parts[C]
+                shared = (ws[C - 1][sup_x["ifc"]]
+                          + w_sup[sup_x["ifs"]])
+                ws[C - 1] = ws[C - 1].at[sup_x["ifc"]].set(shared,
+                                                           mode="drop")
+                w_sup = w_sup.at[sup_x["ifs"]].set(shared, mode="drop")
             # prolong the assembled coarse trace back, coarse->fine
             for c in range(C - 2, -1, -1):
                 s = slv_x[c]
@@ -369,8 +523,10 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
             outs = []
             for c in range(C):
                 w = ws[c] * cls_x[c]["nmask"] if apply_mask else ws[c]
-                outs.append(w[cls_x[c]["gids"]])
-            return jnp.concatenate(outs)
+                outs.append(w[cls_x[c]["gids"]].reshape(cls_shapes[c]))
+            if sup_x is not None:
+                outs.append(w_sup * sup_x["mask"] if apply_mask else w_sup)
+            return outs
 
         def comp_dot(a, b):
             return krylov.tree_dot(a, b)
@@ -381,6 +537,7 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
             for Jl in Jlvl_x:
                 r_lvl.append(interp.restrict(r_lvl[-1], Jl, dim))
             parts = []
+            gathered_last = None
             for c in range(C):
                 block = r_lvl[c]
                 if ax is not None and jax.lax.axis_size(ax) > 1:
@@ -388,21 +545,32 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
                     # per-shard takes (replaces the reference's gslib tree
                     # exchange + coarse Allgatherv, subdomain.tpp:4613-4631)
                     block = jax.lax.all_gather(block, ax, axis=0, tiled=True)
+                if c == C - 1:
+                    gathered_last = block
                 sel = block[cls_x[c]["src"]]
                 parts.append(sel * cls_x[c]["valid"][:, None])
-            return join(parts)
+            if sup_x is not None:
+                # superdomain RHS: vertex-assemble the far elements'
+                # restricted residual, project with P^T (the reference's
+                # Pt.multiply, subdomain.tpp:4635-4645)
+                sel = gathered_last[sup_x["src"]] * sup_x["valid"][:, None]
+                w_v = jnp.zeros((nv + 1,), dtype=sel.dtype)
+                w_v = w_v.at[sup_x["vids"]].add(sel, mode="drop")
+                parts.append(bsr_spmv(sup_x["Pt"], w_v[:nv]))
+            return parts
 
-        return {"split": split, "join": join, "comp_operator": comp_operator,
+        return {"comp_operator": comp_operator,
                 "comp_dssum": comp_dssum, "comp_dot": comp_dot,
-                "tree_rhs": tree_rhs, "cls_x": cls_x}
+                "tree_rhs": tree_rhs, "cls_x": cls_x, "sup_x": sup_x}
 
     def comp_inv_diag_of(ops_c):
         cls_x = ops_c["cls_x"]
-        diag = ops_c["join"]([
-            sem.stiffness_diagonal(cx["geom"], cx["D"], dim)
-            for cx in cls_x])
+        diag = [sem.stiffness_diagonal(cx["geom"], cx["D"], dim)
+                for cx in cls_x]
+        if ops_c["sup_x"] is not None:
+            diag.append(ops_c["sup_x"]["diag"])
         diag_c = ops_c["comp_dssum"](diag, apply_mask=False)
-        return jnp.where(diag_c > 0, 1.0 / diag_c, 0.0)
+        return [jnp.where(d > 0, 1.0 / d, 0.0) for d in diag_c]
 
     def build(arrays, extra_x, ops):
         operator_f, dssum_f, dot_f, dot2_f = ops
@@ -411,29 +579,37 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
         comp_dssum = ops_c["comp_dssum"]
         comp_dot = ops_c["comp_dot"]
         tree_rhs = ops_c["tree_rhs"]
+        tm = jax.tree.map
 
         if inner == "amg":
             from ..amg.vcycle import cheby_smooth, vcycle_apply
+            from ..ops.csr import bsr_spmv
             amg_x = extra_x["amg"]
             cls_x = ops_c["cls_x"]
+            sup_x = ops_c["sup_x"]
             comp_inv_diag = comp_inv_diag_of(ops_c)
-            comp_mask = jnp.concatenate(
-                [cx["nmask"][cx["gids"]] for cx in cls_x])
+            comp_mask = [cx["nmask"][cx["gids"]].reshape(cls_shapes[c])
+                         for c, cx in enumerate(cls_x)]
+            if sup_x is not None:
+                comp_mask.append(sup_x["mask"])
             lmax0 = amg_x["lmax0"]
             nvp = amg_x["vmask"].shape[0]
 
             def A_mf(x):
                 return comp_dssum(comp_operator(x), apply_mask=True)
 
-            def restrict_to_vertex(r):
-                parts = ops_c["split"](r)
-                acc = jnp.zeros((nvp + 1,), dtype=r.dtype)
+            def restrict_to_vertex(parts):
+                acc = jnp.zeros((nvp + 1,), dtype=parts[0].dtype)
                 for c, cx in enumerate(cls_x):
                     W = (cx["pw"] * parts[c].reshape(-1)).reshape(
                         parts[c].shape)
                     contrib = jnp.einsum("pc,ep->ec", amg_x["B"][c], W)
                     acc = acc.at[cx["vids"]].add(contrib, mode="drop")
-                return acc[:nvp] * amg_x["vmask"]
+                acc = acc[:nvp]
+                if sup_x is not None:
+                    acc = acc + bsr_spmv(sup_x["P"],
+                                         parts[C] * sup_x["wrest"])
+                return acc * amg_x["vmask"]
 
             def prolong_from_vertex(v):
                 vp = jnp.concatenate([v * amg_x["vmask"],
@@ -442,18 +618,20 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
                 for c, cx in enumerate(cls_x):
                     vals = vp[cx["vids"]]             # (Ec, 2^dim)
                     outs.append(jnp.einsum("pc,ec->ep", amg_x["B"][c],
-                                           vals).reshape(-1))
-                return jnp.concatenate(outs)
+                                           vals))
+                if sup_x is not None:
+                    outs.append(bsr_spmv(sup_x["Pt"], vp[:nvp]))
+                return [o * m for o, m in zip(outs, comp_mask)]
 
             def inner_precond(rr):
                 fc = comp_dssum(rr, apply_mask=True)
                 x = cheby_smooth(A_mf, comp_inv_diag, lmax0, fc, None,
                                  cheby_order)
                 for _ in range(num_vcycles):
-                    r = fc - A_mf(x)
+                    r = tm(jnp.subtract, fc, A_mf(x))
                     v = vcycle_apply(amg_x["chain"], restrict_to_vertex(r),
                                      cheby_order=cheby_order)
-                    x = x + prolong_from_vertex(v) * comp_mask
+                    x = tm(jnp.add, x, prolong_from_vertex(v))
                     x = cheby_smooth(A_mf, comp_inv_diag, lmax0, fc, x,
                                      cheby_order)
                 return x
@@ -461,7 +639,8 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
             comp_inv_diag = comp_inv_diag_of(ops_c)
 
             def inner_precond(rr):
-                return comp_dssum(rr, apply_mask=True) * comp_inv_diag
+                return tm(jnp.multiply, comp_dssum(rr, apply_mask=True),
+                          comp_inv_diag)
         elif inner == "none":
             def inner_precond(rr):
                 return comp_dssum(rr, apply_mask=True)
@@ -481,7 +660,7 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
                 num_vectors=num_iterations,
                 tolerance=0.0)
             # own elements sit in class 0's leading E_pad slots
-            z = res.u[:E_pad * (N + 1) ** dim].astype(domain.dtype)
+            z = res.u[0][:E_pad].reshape(-1).astype(domain.dtype)
             return dssum_f(z, apply_mask=True, apply_weight=True)
 
         return precond
@@ -490,27 +669,38 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
         # Chebyshev lambda_max(D^-1 S A) of the composite, by device power
         # iteration over the same traced ops (hypre's eigenvalue-estimate
         # role, subdomain.tpp:3496-3497)
-        core = {k: extra[k] for k in ("classes", "slv", "Jlvl")}
+        core = {k: extra[k] for k in ("classes", "slv", "Jlvl", "sup")
+                if k in extra}
 
         def _lmax_impl(core_x):
             ops_c = make_ops(core_x)
             invd = comp_inv_diag_of(ops_c)
             cls_x = ops_c["cls_x"]
-            mask = jnp.concatenate(
-                [cx["nmask"][cx["gids"]] for cx in cls_x])
-            n_tot = mask.shape[0]
-            x0 = jnp.sin(jnp.arange(n_tot, dtype=dtype) * 0.7311) * mask
+            tm2 = jax.tree.map
+            mask = [cx["nmask"][cx["gids"]].reshape(cls_shapes[c])
+                    for c, cx in enumerate(cls_x)]
+            if ops_c["sup_x"] is not None:
+                mask.append(ops_c["sup_x"]["mask"])
+            off = 0
+            x0 = []
+            for m in mask:
+                sz = int(np.prod(m.shape))
+                x0.append(jnp.sin(
+                    (jnp.arange(sz, dtype=dtype) + off)
+                    * 0.7311).reshape(m.shape) * m)
+                off += sz
 
             def body(_, carry):
                 x, lam = carry
-                y = invd * ops_c["comp_dssum"](
-                    ops_c["comp_operator"](x), apply_mask=True)
-                num = jnp.dot(y, y)
-                den = jnp.maximum(jnp.dot(x, x), 1e-30)
+                y = tm2(jnp.multiply, invd, ops_c["comp_dssum"](
+                    ops_c["comp_operator"](x), apply_mask=True))
+                num = krylov.tree_dot(y, y)
+                den = jnp.maximum(krylov.tree_dot(x, x), 1e-30)
                 lam = jnp.sqrt(num / den)
-                return (y / jnp.maximum(jnp.sqrt(num), 1e-30), lam)
+                scale = 1.0 / jnp.maximum(jnp.sqrt(num), 1e-30)
+                return (tm2(lambda yl: scale * yl, y), lam)
 
-            lam0 = jnp.dot(x0, x0) * 0.0 + 1.0
+            lam0 = krylov.tree_dot(x0, x0) * 0.0 + 1.0
             _, lam = jax.lax.fori_loop(0, 20, body, (x0, lam0))
             return lam * 1.1
 

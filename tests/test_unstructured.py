@@ -194,3 +194,38 @@ def test_unstructured_composite_spmd_matches_single():
     # different shard counts build different composite subproblems (DD):
     # histories need not match, but convergence class must
     assert abs(i1 - i4) <= max(3, i1 // 3), (i1, i4)
+
+
+def test_superdomain_compression_matches_uncompressed():
+    # the algebraic far field (S10: kept-fine vertices + smoothed
+    # aggregates, subdomain.tpp:1860-2579 role) must preserve the
+    # composite's convergence class while shrinking the far block
+    def mk(o):
+        return mg.scramble_mesh(mg.kershaw_mesh((8, 8, 8), o, epsilon=0.3),
+                                seed=11, permute=False)
+
+    from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.solvers.unstructured import (
+        composite_dd_unstructured)
+
+    mesh = mk(2)
+    dom = Domain(partition_mesh(mesh, 4), dtype=jnp.float64,
+                 device_mesh=jax.make_mesh((4,), ("shard",)))
+    u_star = dom.initial_function(4, seed=3)
+    f = dom.manufacture_rhs(u_star)
+    iters = {}
+    for fc in (False, True):
+        pre = composite_dd_unstructured(dom, mk, poly_reduction=1,
+                                        inner="amg", fine_mesh=mesh,
+                                        far_compress=fc)
+        if fc:
+            sup = pre.extra.get("sup")
+            assert sup is not None and sup["mask"].shape[-1] > 0
+        res = dom.solver(method="fgmres", max_iterations=200,
+                         tolerance=1e-8, precond=pre)(f)
+        assert bool(res.converged), fc
+        err = np.abs(dom.from_device_field(res.u)
+                     - dom.from_device_field(u_star)).max()
+        assert err < 1e-6
+        iters[fc] = int(res.iterations)
+    # measured 13 vs 13; allow small headroom
+    assert iters[True] <= iters[False] + 3, iters
