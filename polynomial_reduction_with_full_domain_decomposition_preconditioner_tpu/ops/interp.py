@@ -44,18 +44,12 @@ def lattice_tensor_apply(U, M, dim: int):
 
     U: lattice shape (m_d * n_in, ...); returns (m_d * n_out, ...). Used
     for order transfer between lattices of different polynomial order on
-    the same element grid — all dense block-diagonal MXU contractions.
-    """
+    the same element grid — dense contractions, lane-aligned 128-chunk
+    MXU form on TPU (ops/sem.dmul)."""
+    from .sem import dmul
     n_out, n_in = M.shape
     for axis in range(dim):
-        shape = U.shape
-        m = shape[axis] // n_in
-        split = shape[:axis] + (m, n_in) + shape[axis + 1:]
-        V = U.reshape(split)
-        V = jnp.moveaxis(V, axis + 1, -1)
-        V = jnp.einsum("oi,...i->...o", M, V, precision=_HI)
-        V = jnp.moveaxis(V, -1, axis + 1)
-        U = V.reshape(shape[:axis] + (m * n_out,) + shape[axis + 1:])
+        U = dmul(M, U, axis, n_in)
     return U
 
 
