@@ -260,12 +260,12 @@ def _trilinear_nodes(elem_shape, poly_degree, vertex_transform):
                         indexing="ij")
     if dim == 2:
         vx, vy = grids
-        _, wy, _ = vertex_transform(vx, vy, None)
-        verts = np.stack([vx, wy], axis=-1)
+        wx, wy, _ = vertex_transform(vx, vy, None)
+        verts = np.stack([wx, wy], axis=-1)
     else:
         vx, vy, vz = grids
-        _, wy, wz = vertex_transform(vx, vy, vz)
-        verts = np.stack([vx, wy, wz], axis=-1)
+        wx, wy, wz = vertex_transform(vx, vy, vz)
+        verts = np.stack([wx, wy, wz], axis=-1)
 
     rev = np.indices(tuple(reversed(elem_shape)))
     emulti = [rev[dim - 1 - d].reshape(-1) for d in range(dim)]

@@ -20,9 +20,14 @@ __all__ = ["Config"]
 @dataclass
 class Config:
     # ---- problem (the reference CLI, poisson.cpp:63-68) ----
-    mesh: str = "kershaw"              # kershaw | box
+    mesh: str = "kershaw"              # kershaw | box | pebble
     shape: tuple = (8, 8, 8)           # element grid (mx, my[, mz])
     epsilon: float = 0.3               # Kershaw distortion (run.py:24-49)
+    num_pebbles: int = 16              # pebble mesh: sphere count (the
+    #   reference's PB_146/PB_1568 family, run.py:51-79); shape is the
+    #   carving lattice, mesh_seed the packing seed
+    solid_fraction: float = 0.25       # pebble mesh: target sphere volume
+    mesh_seed: int = 0                 # pebble packing seed
     scramble: int | None = None        # unstructured connectivity: random
     #   element permutation + local-frame rotations with this seed (the
     #   stand-in for the reference's Nek5000 pebble-bed exports,
@@ -116,9 +121,14 @@ class Config:
                        default=d.subdomain_overlap)
         p.add_argument("superdomain_overlap", type=int, nargs="?",
                        default=d.superdomain_overlap)
-        p.add_argument("--mesh", default=d.mesh, choices=["kershaw", "box"])
+        p.add_argument("--mesh", default=d.mesh,
+                       choices=["kershaw", "box", "pebble"])
         p.add_argument("--shape", default=",".join(map(str, d.shape)))
         p.add_argument("--epsilon", type=float, default=d.epsilon)
+        p.add_argument("--num-pebbles", type=int, default=d.num_pebbles)
+        p.add_argument("--solid-fraction", type=float,
+                       default=d.solid_fraction)
+        p.add_argument("--mesh-seed", type=int, default=d.mesh_seed)
         p.add_argument("--scramble", type=int, default=None,
                        help="unstructured connectivity: scramble seed")
         p.add_argument("--stype", default=d.stype)
@@ -155,6 +165,8 @@ class Config:
         return cls(
             mesh=a.mesh, shape=tuple(int(x) for x in a.shape.split(",")),
             epsilon=a.epsilon, scramble=a.scramble,
+            num_pebbles=a.num_pebbles, solid_fraction=a.solid_fraction,
+            mesh_seed=a.mesh_seed,
             poly_degree=a.poly_degree,
             poly_reduction=a.poly_reduction,
             subdomain_overlap=a.subdomain_overlap,

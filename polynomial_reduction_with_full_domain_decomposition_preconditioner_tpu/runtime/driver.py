@@ -28,6 +28,11 @@ def _build_domain(cfg: Config, device_mesh=None):
 
     if cfg.mesh == "kershaw":
         builder = partial(mg.kershaw_mesh, cfg.shape, epsilon=cfg.epsilon)
+    elif cfg.mesh == "pebble":
+        from ..mesh.pebble import pebble_mesh
+        builder = partial(pebble_mesh, cfg.shape,
+                          num_pebbles=cfg.num_pebbles, seed=cfg.mesh_seed,
+                          solid_fraction=cfg.solid_fraction)
     else:
         builder = partial(mg.box_mesh, cfg.shape)
     if cfg.scramble is not None:
@@ -37,6 +42,9 @@ def _build_domain(cfg: Config, device_mesh=None):
         from .checkpoint import cached_mesh_builder
         tag = (f"{cfg.mesh}_{'x'.join(map(str, cfg.shape))}"
                f"_e{cfg.epsilon}_s{cfg.scramble}")
+        if cfg.mesh == "pebble":
+            tag += (f"_p{cfg.num_pebbles}_sf{cfg.solid_fraction}"
+                    f"_ms{cfg.mesh_seed}")
         builder = cached_mesh_builder(builder, cfg.checkpoint, tag)
     mesh = builder(cfg.poly_degree)
     import jax
@@ -55,7 +63,8 @@ def _build_preconditioner(cfg: Config, dom, mesh_builder, fine_mesh=None):
 
     if cfg.preconditioner == "composite":
         chain_cache = None
-        if cfg.checkpoint and cfg.inner == "amg" and cfg.scramble is None:
+        if (cfg.checkpoint and cfg.inner == "amg"
+                and cfg.scramble is None and cfg.mesh != "pebble"):
             import os
             chain_cache = os.path.join(
                 cfg.checkpoint,
