@@ -5,11 +5,21 @@ The reference wraps every solver phase in synchronized timers
 inner_products, ...}, subdomain.{tree_*, preconditioner.*}). Here the
 whole solve is ONE fused XLA program — by design (SURVEY.md 5.1) — so
 phases cannot be bracketed with host timers without destroying the very
-fusion being measured. Instead the report is *differential*: the same
-problem is solved with components successively enabled at a fixed
-iteration count, and per-phase costs are the marginals. This yields
-honest device numbers (bracketed closure timing inflates 10-30x through
-jit-constant capture) in the reference's report schema.
+fusion being measured. Two honest measurements replace the brackets:
+
+1. **Differential solve marginals**: the same problem solved with
+   components successively enabled at a fixed iteration count; per-phase
+   costs are the marginals (coarse but exactly reflects the fused
+   program).
+2. **Device-measured region chains** (``Domain.phase_chain``): each
+   region closure (outer operator/dssum, composite tree cascade /
+   exchange, composite operator, composite QQt assembly, inner V-cycle)
+   is applied in a jitted ``fori_loop`` chain with a loop-carried
+   dependency and difference-timed — t(2N) − t(N) cancels all fixed
+   costs. A normalize-only chain is the measurement baseline and is
+   subtracted, so each row is the marginal cost of that region per
+   application. This reproduces the reference's ~20-region report at
+   device-kernel fidelity (poisson.cpp:259-358 schema).
 """
 
 from __future__ import annotations
@@ -36,9 +46,26 @@ def _timed_solve(dom, f, repeats=3, **solver_kw):
     return best, int(res.iterations)
 
 
+def _chain_time(dom, pre, kind, f, iters=12, repeats=3):
+    """Per-application seconds of one region, difference-timed."""
+    f1 = dom.phase_chain(pre, kind, iters)
+    f2 = dom.phase_chain(pre, kind, 2 * iters)
+    float(f1(f))
+    float(f2(f))
+    b1 = b2 = float("inf")
+    for _ in range(repeats):
+        t = time.time()
+        float(f1(f))
+        b1 = min(b1, time.time() - t)
+        t = time.time()
+        float(f2(f))
+        b2 = min(b2, time.time() - t)
+    return max(b2 - b1, 0.0) / iters
+
+
 def phase_report(dom, mesh_builder, cfg=None, iterations: int = 10,
-                 out=sys.stdout) -> dict:
-    """Print and return the per-iteration phase table (reference schema,
+                 out=sys.stdout, chain_iters: int = 12) -> dict:
+    """Print and return the per-phase tables (reference schema,
     poisson.cpp:259-401) for the composite-preconditioned solve."""
     from ..solvers import subdomain as sub
     from .config import Config
@@ -64,11 +91,12 @@ def phase_report(dom, mesh_builder, cfg=None, iterations: int = 10,
                             **kw)
     t_jac, _ = _timed_solve(dom, f, method=cfg.solver,
                             precond=pre("jacobi"), **kw)
-    t_full, _ = _timed_solve(dom, f, method=cfg.solver, precond=pre("amg"),
+    pre_full = pre("amg")
+    t_full, _ = _timed_solve(dom, f, method=cfg.solver, precond=pre_full,
                              **kw)
 
     it = iterations
-    report = {
+    marginals = {
         # reference names (poisson.cpp:259-293), per outer iteration
         "domain.operator+vector_operations (FCG floor)": t_fcg / it,
         "domain.krylov_basis (GMRES - FCG)": (t_skel - t_fcg) / it,
@@ -78,7 +106,43 @@ def phase_report(dom, mesh_builder, cfg=None, iterations: int = 10,
             (t_full - t_jac) / it,
         "total per iteration": t_full / it,
     }
-    print("phase report (differential, per outer iteration):", file=out)
-    for k, v in report.items():
+
+    # device-measured region chains (per application of each region)
+    ct = {k: _chain_time(dom, pre_full, k, f, iters=chain_iters)
+          for k in ("nrm", "op", "dssum", "cnrm", "comp_op", "comp_dssum",
+                    "inner_precond", "tree_cascade", "tree_rhs")}
+    ki = cfg.inner_iterations
+    regions = {
+        # outer solve (domain.*, poisson.cpp:259-276)
+        "domain.operator_application": ct["op"] - ct["nrm"],
+        "domain.inner_products+vector_operations (1 dot + 1 scale)":
+            ct["nrm"],
+        "subdomain.stitching (outer dssum)": ct["dssum"] - ct["nrm"],
+        # preconditioner tree (subdomain.tree_*, poisson.cpp:322-358)
+        "subdomain.tree_construction (restriction cascade)":
+            ct["tree_cascade"],
+        "subdomain.tree_exchange (rings+coarse gather+far)":
+            ct["tree_rhs"] - ct["tree_cascade"],
+        # composite inner solve, per inner application (x{ki}/outer)
+        f"subdomain.operator_application (x{ki})":
+            ct["comp_op"] - ct["cnrm"],
+        f"subdomain.preconditioner.assemble+unassemble (x{ki})":
+            ct["comp_dssum"] - ct["cnrm"],
+        f"subdomain.preconditioner.vcycle legs+coarse (x{ki})":
+            ct["inner_precond"] - ct["cnrm"],
+        "subdomain.inner_products+vector_operations (1 dot + 1 scale)":
+            ct["cnrm"],
+    }
+    # a subtracted marginal below the timing noise floor reads negative;
+    # report it as 0 (the region costs less than the measurement noise)
+    regions = {k: max(v, 0.0) for k, v in regions.items()}
+
+    print("phase report — differential solve marginals "
+          "(per outer iteration):", file=out)
+    for k, v in marginals.items():
         print(f"  {k}: {v * 1e3:.2f} ms", file=out)
-    return report
+    print("phase report — device-measured regions "
+          "(chained, per application):", file=out)
+    for k, v in regions.items():
+        print(f"  {k}: {v * 1e3:.3f} ms", file=out)
+    return {**marginals, **{f"region.{k}": v for k, v in regions.items()}}

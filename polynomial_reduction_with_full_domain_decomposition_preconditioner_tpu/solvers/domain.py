@@ -503,6 +503,103 @@ class Domain:
         jfn = jax.jit(impl)
         return lambda r: jfn(self.arrays, extra, r)
 
+    def phase_chain(self, precond, kind: str, iters: int):
+        """Jitted (f) -> scalar: ``iters`` chained applications of one
+        solver region, for the device-measured phase taxonomy
+        (runtime/phases.py; the reference's timed regions,
+        poisson.cpp:259-358). Chains carry a loop dependency so XLA
+        cannot hoist or overlap iterations; difference-time two chain
+        lengths to cancel fixed dispatch/fetch costs.
+
+        Outer kinds: 'nrm' (normalize = dot + scale, the measurement
+        baseline), 'op' (operator+dssum), 'dssum'. Composite kinds (need
+        a composite ``precond`` exposing ``.parts``): 'cnrm', 'comp_op',
+        'comp_dssum', 'inner_precond', 'tree_cascade', 'tree_rhs'.
+        """
+        builder = precond.build if precond is not None else None
+        extra = precond.extra if precond is not None else None
+        specs = (precond.extra_specs(self.axis_name)
+                 if (precond is not None and self.spmd) else None)
+
+        def impl(arrays, extra_x, f):
+            operator, dssum, dot, dot2 = self._ops(arrays)
+            parts = None
+            if builder is not None:
+                fn = builder(arrays, extra_x, (operator, dssum, dot, dot2))
+                parts = getattr(fn, "parts", None)
+
+            def nrm(x):
+                s = dot(x, x)
+                return x * jax.lax.rsqrt(s + 1e-30).astype(x.dtype)
+
+            if kind in ("nrm", "op", "dssum"):
+                step = {
+                    "nrm": nrm,
+                    "op": lambda x: nrm(dssum(operator(x))),
+                    "dssum": lambda x: nrm(dssum(x)),
+                }[kind]
+                x = jax.lax.fori_loop(0, iters, lambda i, x: step(x), f)
+                return dot(x, x).astype(jnp.float32)
+
+            if parts is None:
+                raise ValueError(f"phase kind {kind!r} needs a composite "
+                                 "preconditioner exposing .parts")
+
+            if kind in ("tree_cascade", "tree_rhs"):
+                part = parts[kind]
+
+                def body(i, carry):
+                    x, acc = carry
+                    # one-element loop dependency (cheap, un-hoistable)
+                    idx = (0,) * x.ndim
+                    x = x.at[idx].add((1e-30 * acc).astype(x.dtype))
+                    out = part(x)
+                    return (x, out[0].reshape(-1)[0].astype(f.dtype))
+
+                # seed acc from f so it carries the shard-varying vma
+                # type the loop body produces (shard_map scan requirement)
+                acc0 = f.reshape(-1)[0] * 0.0
+                _, acc = jax.lax.fori_loop(0, iters, body, (f, acc0))
+                return acc.astype(jnp.float32)
+
+            # composite-space chains: carry the composite parts pytree
+            def cnrm(x):
+                s = krylov.tree_dot(x, x).astype(jnp.float32)
+                sc = jax.lax.rsqrt(s + 1e-30)
+                return jax.tree.map(
+                    lambda u: u * sc.astype(u.dtype), x)
+
+            step = {
+                "cnrm": cnrm,
+                "comp_op": lambda x: cnrm(parts["comp_operator"](x)),
+                "comp_dssum": lambda x: cnrm(parts["comp_dssum"](x)),
+                "inner_precond":
+                    lambda x: cnrm(parts["inner_precond"](x)),
+            }[kind]
+            x0 = parts["tree_rhs"](f)
+            x = jax.lax.fori_loop(0, iters, lambda i, x: step(x), x0)
+            return krylov.tree_dot(x, x).astype(jnp.float32)
+
+        cache = self.__dict__.setdefault("_fn_cache", {})
+        key = ("phase_chain", id(precond), kind, iters)
+        if key not in cache:
+            if self.spmd:
+                ax = self.axis_name
+
+                def spmd_impl(arrays, extra_x, f):
+                    s = impl(_squeeze_shard(arrays),
+                             self._squeeze_extra(extra_x, specs), f[0])
+                    return jax.lax.pmax(s, ax)
+
+                cache[key] = jax.jit(jax.shard_map(
+                    spmd_impl, mesh=self.device_mesh,
+                    in_specs=(_specs(ax), specs, P(ax)),
+                    out_specs=P()))
+            else:
+                cache[key] = jax.jit(impl)
+        jfn = cache[key]
+        return lambda f: jfn(self.arrays, extra, f)
+
     def residual(self, u, f):
         """(r, ||r||): non-assembled residual and its assembled norm
         sqrt(<r, QQt r>) — the solvers' convergence metric

@@ -770,13 +770,18 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
         #      (subdomain.tpp:4566-4646) ----
         n_per_lvl = [o + 1 for o in orders]
 
-        def tree_rhs(r):
-            # restriction cascade on the own slab (subdomain.okl:284-366);
-            # r arrives shaped (own lattice)
+        def tree_cascade(r):
+            # restriction cascade on the own slab (subdomain.okl:284-366;
+            # the reference's tree_construction.subdomain timed region,
+            # poisson.cpp:322-341); r arrives shaped (own lattice)
             r_lvl = [r]
             for Jl in Jlvl_x:
                 r_lvl.append(interp.lattice_tensor_apply(
                     r_lvl[-1], Jl.T, dim))
+            return r_lvl
+
+        def tree_rhs(r):
+            r_lvl = tree_cascade(r)
 
             parts = [r_lvl[0]]  # group 0: own slab at order N
             if G == 1:
@@ -851,6 +856,7 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
         return {"split": split, "join": join,
                 "comp_operator": comp_operator, "comp_dssum": comp_dssum,
                 "comp_dot": comp_dot, "tree_rhs": tree_rhs,
+                "tree_cascade": tree_cascade,
                 "groups_x": groups_x}
 
     def comp_inv_diag_of(ops_c):
@@ -974,6 +980,17 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
         # iteration residuals, subdomain.tpp:4430): Domain.precond_probe
         # jits this to expose one application's inner history
         precond.probe = _solve_inner
+        # per-region closures for the device-measured phase taxonomy
+        # (runtime/phases.py; the reference's timed regions,
+        # poisson.cpp:259-358): Domain.phase_chain microbenches each
+        precond.parts = {
+            "tree_rhs": lambda r: tree_rhs(r.astype(dtype)),
+            "tree_cascade":
+                lambda r: ops_c["tree_cascade"](r.astype(dtype)),
+            "comp_operator": comp_operator,
+            "comp_dssum": lambda x: comp_dssum(x, apply_mask=True),
+            "inner_precond": inner_precond,
+        }
         return precond
 
     if inner == "amg":

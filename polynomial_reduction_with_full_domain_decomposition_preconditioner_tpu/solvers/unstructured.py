@@ -531,11 +531,17 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
         def comp_dot(a, b):
             return krylov.tree_dot(a, b)
 
-        def tree_rhs(r):
-            # restriction cascade on the own elements (subdomain.okl:284-366)
+        def tree_cascade(r):
+            # restriction cascade on the own elements (subdomain.okl:
+            # 284-366; tree_construction.subdomain region, poisson.cpp:
+            # 322-341)
             r_lvl = [r.reshape(E_pad, -1)]
             for Jl in Jlvl_x:
                 r_lvl.append(interp.restrict(r_lvl[-1], Jl, dim))
+            return r_lvl
+
+        def tree_rhs(r):
+            r_lvl = tree_cascade(r)
             parts = []
             gathered_last = None
             for c in range(C):
@@ -561,7 +567,8 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
 
         return {"comp_operator": comp_operator,
                 "comp_dssum": comp_dssum, "comp_dot": comp_dot,
-                "tree_rhs": tree_rhs, "cls_x": cls_x, "sup_x": sup_x}
+                "tree_rhs": tree_rhs, "tree_cascade": tree_cascade,
+                "cls_x": cls_x, "sup_x": sup_x}
 
     def comp_inv_diag_of(ops_c):
         cls_x = ops_c["cls_x"]
@@ -649,7 +656,7 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
                 f"unstructured composite inner={inner!r} "
                 "(use 'amg', 'jacobi' or 'none')")
 
-        def precond(r):
+        def _solve_inner(r):
             # STYPE -> PTYPE cast at the tree boundary (subdomain.okl:268)
             f_comp = tree_rhs(r.astype(dtype))
             res = krylov.fgmres(
@@ -661,8 +668,24 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
                 tolerance=0.0)
             # own elements sit in class 0's leading E_pad slots
             z = res.u[0][:E_pad].reshape(-1).astype(domain.dtype)
-            return dssum_f(z, apply_mask=True, apply_weight=True)
+            return (dssum_f(z, apply_mask=True, apply_weight=True),
+                    res.residual_history)
 
+        def precond(r):
+            return _solve_inner(r)[0]
+
+        # inner-solve observability + per-region phase closures (the
+        # reference's subdomain.tpp:4430 prints / poisson.cpp:259-358
+        # timed regions; see Domain.precond_probe / Domain.phase_chain)
+        precond.probe = _solve_inner
+        precond.parts = {
+            "tree_rhs": lambda r: tree_rhs(r.astype(dtype)),
+            "tree_cascade":
+                lambda r: ops_c["tree_cascade"](r.astype(dtype)),
+            "comp_operator": comp_operator,
+            "comp_dssum": lambda x: comp_dssum(x, apply_mask=True),
+            "inner_precond": inner_precond,
+        }
         return precond
 
     if inner == "amg":

@@ -202,6 +202,13 @@ def test_phase_report(capsys):
     assert "total per iteration" in rep
     assert all(np.isfinite(v) for v in rep.values())
     assert "phase report" in buf.getvalue()
+    # device-measured region rows (the reference's ~20-region taxonomy,
+    # poisson.cpp:259-358) are present and non-negative
+    region_keys = [k for k in rep if k.startswith("region.")]
+    assert len(region_keys) >= 9
+    assert all(rep[k] >= 0.0 for k in region_keys)
+    assert "region.domain.operator_application" in rep
+    assert "region.subdomain.tree_construction (restriction cascade)" in rep
 
 
 def test_driver_multishard_cli():
@@ -214,6 +221,32 @@ def test_driver_multishard_cli():
     rec = run_simulation(cfg, out=open(os.devnull, "w"))
     assert rec["converged"]
     assert rec["max_error"] < 1e-5
+
+
+def test_phase_chain_spmd():
+    # the device-measured region chains compile and run on a sharded mesh
+    # (every chain embeds the real collectives: psum dots, ring ppermute,
+    # coarse all_gather)
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+    from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.mesh import generator as mg
+    from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.mesh.partition import partition_mesh
+    from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.solvers.domain import Domain
+    from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.solvers import subdomain as sub
+
+    shape = (2, 2, 8)
+    mesh = mg.kershaw_mesh(shape, 2, epsilon=0.3)
+    dm = jax.make_mesh((4,), ("shard",))
+    dom = Domain(partition_mesh(mesh, 4), dtype=jnp.float32,
+                 device_mesh=dm)
+    pre = sub.composite_dd(dom, partial(mg.kershaw_mesh, shape,
+                                        epsilon=0.3),
+                           poly_reduction=1, inner="amg", fine_mesh=mesh)
+    f = dom.manufacture_rhs(dom.initial_function(4, seed=0))
+    for kind in ("op", "tree_rhs", "comp_op", "inner_precond"):
+        v = float(dom.phase_chain(pre, kind, 3)(f))
+        assert np.isfinite(v), kind
 
 
 def test_cli_phase_report_flag():
