@@ -174,23 +174,39 @@ def bsr_from_csr(m: sp.csr_matrix, block: int = 16,
 
 
 def bsr_stack(mats: list[sp.csr_matrix], block: int = 16,
-              dtype=np.float32) -> BsrMatrix:
+              dtype=np.float32, select=None) -> BsrMatrix:
     """Stack same-shape per-shard CSRs into one BSR with a leading shard
     axis (block patterns padded to the max count; pad blocks are zeros on
-    the last block row, keeping brows sorted)."""
+    the last block row, keeping brows sorted).
+
+    ``select``: indices of the shards to materialize (multi-host
+    local-only setup) — the pad count stays the max over ALL mats so
+    every process produces SPMD-consistent shapes."""
     n_rows, n_cols = mats[0].shape
     nrb = -(-n_rows // block)
-    parts = [_bsr_arrays(m, block, dtype) for m in mats]
-    nb = max(v.shape[0] for v, _, _ in parts)
-    P = len(parts)
+    sel = list(range(len(mats))) if select is None else list(select)
+    parts = {p: _bsr_arrays(mats[p], block, dtype) for p in sel}
+    # global pad count: block counts of unselected shards via their nnz
+    # pattern only (cheap index pass, no value materialization)
+    nb = 0
+    for p, m in enumerate(mats):
+        if p in parts:
+            nb = max(nb, parts[p][0].shape[0])
+        else:
+            mm = m.tocoo()
+            nb = max(nb, np.unique(
+                np.stack([mm.row // block, mm.col // block]),
+                axis=1).shape[1] if mm.nnz else 0)
+    P = len(sel)
     vals = np.zeros((P, nb, block, block), dtype=dtype)
     bcols = np.zeros((P, nb), dtype=np.int32)
     brows = np.full((P, nb), max(nrb - 1, 0), dtype=np.int32)
-    for p, (v, c, r) in enumerate(parts):
-        k = v.shape[0]
-        vals[p, :k] = v
-        bcols[p, :k] = c
-        brows[p, :k] = r
+    for k, p in enumerate(sel):
+        v, c, r = parts[p]
+        kk = v.shape[0]
+        vals[k, :kk] = v
+        bcols[k, :kk] = c
+        brows[k, :kk] = r
     return BsrMatrix(vals=jnp.asarray(vals), bcols=jnp.asarray(bcols),
                      brows=jnp.asarray(brows),
                      n_rows=n_rows, n_cols=n_cols)

@@ -49,9 +49,12 @@ from . import krylov
 __all__ = ["composite_dd_unstructured"]
 
 
-def _class_setup(mesh_o, elems, E_pad):
+def _class_setup(mesh_o, elems, E_pad, with_geom=True):
     """Node plan for one order class: elems (with -1 pads) -> dense local
-    node ids, geometry, masks."""
+    node ids, geometry, masks. ``with_geom=False`` skips the heavy field
+    materialization for shards this process does not own (multi-host
+    local-only setup: only the index pass is replicated, like the
+    reference's replicated element graph, subdomain.tpp:198-430)."""
     n_o = mesh_o.poly_degree + 1
     npe = mesh_o.num_points_per_elem
     Ec = elems.shape[0]
@@ -64,8 +67,10 @@ def _class_setup(mesh_o, elems, E_pad):
     gids = np.full((Ec, npe), NN, dtype=np.int32)
     gids[real] = inv.reshape(-1, npe).astype(np.int32)
 
-    geom = np.zeros((Ec, npe, mesh_o.num_geom))
-    geom[real] = mesh_o.geom[safe][real]
+    geom = None
+    if with_geom:
+        geom = np.zeros((Ec, npe, mesh_o.num_geom))
+        geom[real] = mesh_o.geom[safe][real]
     nmask = np.ones(NN + 1)
     nmask[NN] = 0.0
     pm = mesh_o.dirichlet_mask[safe]
@@ -120,10 +125,15 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
     verts = mesh1.glo_num            # (E, 2^dim) corner vertex ids
     adj = gr.element_adjacency(verts)
 
-    if domain.multiprocess:
-        raise NotImplementedError(
-            "the unstructured composite path is single-process for now "
-            "(multi-host local-only setup covers the structured path)")
+    # multi-host local-only setup: the index pass (regions, class sizes,
+    # slave-constraint sizes, superdomain shapes) is replicated on every
+    # process — partition-invariant global maxima are SPMD shape
+    # requirements — but the heavy per-shard arrays (geometry, node
+    # plans, BSR values) are materialized only for owned shards
+    # (domain.shard_put assembles the global jax.Arrays, the reference's
+    # per-rank mesh files role, domain.tpp:45)
+    owned = list(sd.owned) if sd.owned else list(range(Pn))
+    owned_set = set(owned)
 
     # fine partition bounds (contiguous element chunks; global offsets so
     # the region/ownership maps are partition-process independent)
@@ -184,10 +194,11 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
     classes = []        # per class: stacked per-shard arrays
     slaves = []         # per class pair (c fine -> c+1 coarse)
     cls_setups = [[_class_setup(mesh_by_order[orders[c]], class_elems[c][p],
-                                E_pad)
+                                E_pad, with_geom=(p in owned_set))
                    for p in range(Pn)] for c in range(C)]
 
     nv = mesh1.num_nodes
+    Po = len(owned)
     for c in range(C):
         n_o = orders[c] + 1
         mesh_o = mesh_by_order[orders[c]]
@@ -196,29 +207,32 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
         NN = max(NNs)
         Ec = per[0]["E"]
         npe_c = per[0]["npe"]
+        # stacked device arrays: owned shards only (multi-host local-only
+        # setup); maxima above stay global for SPMD shape consistency
         gids = np.stack([
-            np.where(s["gids"] == s["NN"], NN, s["gids"]) for s in per])
-        nmask = np.zeros((Pn, NN + 1))
-        for p, s in enumerate(per):
-            nmask[p, :s["NN"]] = s["nmask"][:s["NN"]]
-        geom = np.stack([s["geom"] for s in per])
+            np.where(per[p]["gids"] == per[p]["NN"], NN, per[p]["gids"])
+            for p in owned])
+        nmask = np.zeros((Po, NN + 1))
+        for k, p in enumerate(owned):
+            nmask[k, :per[p]["NN"]] = per[p]["nmask"][:per[p]["NN"]]
+        geom = np.stack([per[p]["geom"] for p in owned])
         # element source slots in the all_gathered padded fine arrays;
         # element corner vertex ids + inverse point multiplicity (for the
         # vertex-space coarse correction of the hybrid inner)
-        src = np.zeros((Pn, Ec), dtype=np.int32)
-        valid = np.zeros((Pn, Ec))
-        vids = np.full((Pn, Ec, 2 ** dim), nv, dtype=np.int32)
-        pw = np.zeros((Pn, Ec * npe_c))
-        for p in range(Pn):
+        src = np.zeros((Po, Ec), dtype=np.int32)
+        valid = np.zeros((Po, Ec))
+        vids = np.full((Po, Ec, 2 ** dim), nv, dtype=np.int32)
+        pw = np.zeros((Po, Ec * npe_c))
+        for k, p in enumerate(owned):
             e = class_elems[c][p]
             real = e >= 0
             safe = np.where(real, e, 0)
-            src[p] = np.where(
+            src[k] = np.where(
                 real, owner_of[safe] * E_pad + slot_of[safe], 0)
-            valid[p] = real.astype(float)
-            vids[p][real] = verts[safe][real]
+            valid[k] = real.astype(float)
+            vids[k][real] = verts[safe][real]
             w = (1.0 / mesh_o.node_degree[safe]) * real[:, None]
-            pw[p] = w.reshape(-1)
+            pw[k] = w.reshape(-1)
         classes.append({
             "order": orders[c], "n": n_o, "E": Ec, "NN": NN,
             "gids": gids, "nmask": nmask, "geom": geom,
@@ -249,17 +263,17 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
             else:
                 per_cols.append(np.zeros((0, Kc), dtype=np.int32))
             per_wts.append(wts)
-        Ns = max(a.size for a in per_ids)
+        Ns = max(a.size for a in per_ids)     # global max (SPMD shapes)
         K = nc ** (dim - 1)
-        ids_a = np.full((Pn, Ns), classes[c]["NN"], dtype=np.int32)
-        cols_a = np.full((Pn, Ns, K), classes[c + 1]["NN"], dtype=np.int32)
-        wts_a = np.zeros((Pn, Ns, K))
-        for p in range(Pn):
+        ids_a = np.full((Po, Ns), classes[c]["NN"], dtype=np.int32)
+        cols_a = np.full((Po, Ns, K), classes[c + 1]["NN"], dtype=np.int32)
+        wts_a = np.zeros((Po, Ns, K))
+        for j, p in enumerate(owned):
             k = per_ids[p].size
             if k:
-                ids_a[p, :k] = per_ids[p]
-                cols_a[p, :k] = per_cols[p]
-                wts_a[p, :k] = per_wts[p]
+                ids_a[j, :k] = per_ids[p]
+                cols_a[j, :k] = per_cols[p]
+                wts_a[j, :k] = per_wts[p]
         slaves.append({"ids": ids_a, "cols": cols_a, "wts": wts_a})
 
     # ---- superdomain compression setup (S10): per-shard algebraic far
@@ -324,16 +338,17 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
         Ef = max(d["far"].size for d in per)
         Ni = max(len(d["iface"]) for d in per)
         A_pad, P_pad, Pt_pad = [], [], []
-        mask_a = np.zeros((Pn, ns))
-        wrest_a = np.zeros((Pn, ns))
-        diag_a = np.zeros((Pn, ns))
-        ifc_a = np.full((Pn, Ni), classes[C - 1]["NN"], dtype=np.int32)
-        ifs_a = np.full((Pn, Ni), ns, dtype=np.int32)
-        sup_src = np.zeros((Pn, Ef), dtype=np.int32)
-        sup_valid = np.zeros((Pn, Ef))
-        sup_vids = np.full((Pn, Ef, 2 ** dim), nv, dtype=np.int32)
+        mask_a = np.zeros((Po, ns))
+        wrest_a = np.zeros((Po, ns))
+        diag_a = np.zeros((Po, ns))
+        ifc_a = np.full((Po, Ni), classes[C - 1]["NN"], dtype=np.int32)
+        ifs_a = np.full((Po, Ni), ns, dtype=np.int32)
+        sup_src = np.zeros((Po, Ef), dtype=np.int32)
+        sup_valid = np.zeros((Po, Ef))
+        sup_vids = np.full((Po, Ef, 2 ** dim), nv, dtype=np.int32)
         for p, d in enumerate(per):
-            k = d["A"].shape[0]
+            # resized CSRs for ALL shards (cheap; bsr_stack derives the
+            # global pad count from every pattern, values only for owned)
             A = sp.csr_matrix(d["A"])
             A.resize((ns, ns))
             A_pad.append(A)
@@ -341,44 +356,56 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
             Pm.resize((nv, ns))
             P_pad.append(Pm)
             Pt_pad.append(Pm.T.tocsr())
-            mask_a[p, :k] = d["mask"]
-            wrest_a[p, :k] = d["wrest"]
-            diag_a[p, :k] = d["A"].diagonal()
-            for j, (ci, si) in enumerate(d["iface"]):
-                ifc_a[p, j] = ci
-                ifs_a[p, j] = si
+        for j, p in enumerate(owned):
+            d = per[p]
+            k = d["A"].shape[0]
+            mask_a[j, :k] = d["mask"]
+            wrest_a[j, :k] = d["wrest"]
+            diag_a[j, :k] = d["A"].diagonal()
+            for i, (ci, si) in enumerate(d["iface"]):
+                ifc_a[j, i] = ci
+                ifs_a[j, i] = si
             f = d["far"]
-            sup_src[p, :f.size] = owner_of[f] * E_pad + slot_of[f]
-            sup_valid[p, :f.size] = 1.0
-            sup_vids[p, :f.size] = verts[f]
+            sup_src[j, :f.size] = owner_of[f] * E_pad + slot_of[f]
+            sup_valid[j, :f.size] = 1.0
+            sup_vids[j, :f.size] = verts[f]
         from ..ops.csr import bsr_stack
         sup = {
-            "A": bsr_stack(A_pad, dtype=dtype),
-            "P": bsr_stack(P_pad, dtype=dtype),
-            "Pt": bsr_stack(Pt_pad, dtype=dtype),
+            "A": bsr_stack(A_pad, dtype=dtype, select=owned),
+            "P": bsr_stack(P_pad, dtype=dtype, select=owned),
+            "Pt": bsr_stack(Pt_pad, dtype=dtype, select=owned),
             "mask": mask_a, "wrest": wrest_a, "diag": diag_a,
             "ifc": ifc_a, "ifs": ifs_a,
             "src": sup_src, "valid": sup_valid, "vids": sup_vids,
             "ns": ns,
         }
 
-    # ---- device pytree ----
-    sq = (lambda x: x) if domain.spmd else (lambda x: x[0])
+    # ---- device pytree (shard_put: squeezed single-device, stacked
+    #      single-process SPMD, global jax.Arrays multi-process) ----
+    sh = domain.shard_put
+
+    def sh_bsr(b):
+        from ..ops.csr import BsrMatrix
+        return BsrMatrix(vals=sh(np.asarray(b.vals)),
+                         bcols=sh(np.asarray(b.bcols)),
+                         brows=sh(np.asarray(b.brows)),
+                         n_rows=b.n_rows, n_cols=b.n_cols)
+
     extra = {
         "classes": [{
-            "gids": jnp.asarray(sq(cl["gids"])),
-            "nmask": jnp.asarray(sq(cl["nmask"]), dtype=dtype),
-            "geom": jnp.asarray(sq(cl["geom"]), dtype=dtype),
-            "src": jnp.asarray(sq(cl["src"])),
-            "valid": jnp.asarray(sq(cl["valid"]), dtype=dtype),
-            "vids": jnp.asarray(sq(cl["vids"])),
-            "pw": jnp.asarray(sq(cl["pw"]), dtype=dtype),
+            "gids": sh(cl["gids"]),
+            "nmask": sh(cl["nmask"], dtype=dtype),
+            "geom": sh(cl["geom"], dtype=dtype),
+            "src": sh(cl["src"]),
+            "valid": sh(cl["valid"], dtype=dtype),
+            "vids": sh(cl["vids"]),
+            "pw": sh(cl["pw"], dtype=dtype),
             "D": jnp.asarray(cl["D"], dtype=dtype),
         } for cl in classes],
         "slv": [{
-            "ids": jnp.asarray(sq(s["ids"])),
-            "cols": jnp.asarray(sq(s["cols"])),
-            "wts": jnp.asarray(sq(s["wts"]), dtype=dtype),
+            "ids": sh(s["ids"]),
+            "cols": sh(s["cols"]),
+            "wts": sh(s["wts"], dtype=dtype),
         } for s in slaves],
         "Jlvl": [jnp.asarray(interp_matrix(orders[i + 1] + 1,
                                            orders[i] + 1), dtype=dtype)
@@ -386,20 +413,17 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
     }
     if sup is not None:
         extra["sup"] = {
-            "A": sup["A"] if domain.spmd else jax.tree.map(
-                lambda x: x[0], sup["A"]),
-            "P": sup["P"] if domain.spmd else jax.tree.map(
-                lambda x: x[0], sup["P"]),
-            "Pt": sup["Pt"] if domain.spmd else jax.tree.map(
-                lambda x: x[0], sup["Pt"]),
-            "mask": jnp.asarray(sq(sup["mask"]), dtype=dtype),
-            "wrest": jnp.asarray(sq(sup["wrest"]), dtype=dtype),
-            "diag": jnp.asarray(sq(sup["diag"]), dtype=dtype),
-            "ifc": jnp.asarray(sq(sup["ifc"])),
-            "ifs": jnp.asarray(sq(sup["ifs"])),
-            "src": jnp.asarray(sq(sup["src"])),
-            "valid": jnp.asarray(sq(sup["valid"]), dtype=dtype),
-            "vids": jnp.asarray(sq(sup["vids"])),
+            "A": sh_bsr(sup["A"]),
+            "P": sh_bsr(sup["P"]),
+            "Pt": sh_bsr(sup["Pt"]),
+            "mask": sh(sup["mask"], dtype=dtype),
+            "wrest": sh(sup["wrest"], dtype=dtype),
+            "diag": sh(sup["diag"], dtype=dtype),
+            "ifc": sh(sup["ifc"]),
+            "ifs": sh(sup["ifs"]),
+            "src": sh(sup["src"]),
+            "valid": sh(sup["valid"], dtype=dtype),
+            "vids": sh(sup["vids"]),
         }
 
     def core_specs(ax):

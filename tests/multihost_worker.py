@@ -13,6 +13,7 @@ import sys
 def main():
     pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
     out_path = sys.argv[4]
+    mode = sys.argv[5] if len(sys.argv) > 5 else "structured"
 
     import jax
     jax.config.update("jax_platforms", "cpu")
@@ -33,9 +34,18 @@ def main():
     P = 4
     assert jax.device_count() == P, jax.device_count()
     shape = (2, 2, 8)
-    mk = partial(mg.box_mesh, shape, extent=(1.0, 1.0, 4.0))
+    base = partial(mg.box_mesh, shape, extent=(1.0, 1.0, 4.0))
+    if mode == "unstructured":
+        # scrambled connectivity (permute=False keeps contiguous
+        # partitions localized, like real Nek exports) -> the generic-
+        # partition composite path with multi-host local-only setup
+        mk = lambda o: mg.scramble_mesh(base(o), seed=3, permute=False)
+    else:
+        mk = base
     mesh = mk(3)
     owned = owned_shards(P)
+    # "auto" routes by mesh.structured_layout: slab partition for the box,
+    # generic contiguous chunks for the scrambled mesh
     sd = partition_mesh(mesh, P, owned=owned)
     assert sd.geom.shape[0] == len(owned) == 2   # local-only setup
     dmesh = jax.make_mesh((P,), ("shard",))

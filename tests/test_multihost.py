@@ -25,10 +25,14 @@ from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.solv
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _single_process_reference():
+def _single_process_reference(mode="structured"):
     """The same problem/config as tests/multihost_worker.py, one process."""
     shape = (2, 2, 8)
-    mk = partial(mg.box_mesh, shape, extent=(1.0, 1.0, 4.0))
+    base = partial(mg.box_mesh, shape, extent=(1.0, 1.0, 4.0))
+    if mode == "unstructured":
+        mk = lambda o: mg.scramble_mesh(base(o), seed=3, permute=False)
+    else:
+        mk = base
     mesh = mk(3)
     sd = partition_mesh(mesh, 4)
     dom = Domain(sd, dtype=jnp.float64,
@@ -42,27 +46,44 @@ def _single_process_reference():
     return int(res.iterations), hist[np.isfinite(hist)]
 
 
-def test_two_process_run_matches_single_process(tmp_path):
+def _run_two_process(tmp_path, port, mode):
     out = tmp_path / "mh.json"
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
     env["PYTHONPATH"] = _ROOT + os.pathsep + env.get("PYTHONPATH", "")
     worker = os.path.join(_ROOT, "tests", "multihost_worker.py")
     procs = [subprocess.Popen(
-        [sys.executable, worker, str(pid), "2", "12875", str(out)],
+        [sys.executable, worker, str(pid), "2", port, str(out), mode],
         env=env, cwd=_ROOT, stdout=subprocess.PIPE,
         stderr=subprocess.STDOUT) for pid in range(2)]
     outputs = [p.communicate(timeout=420)[0].decode() for p in procs]
     for p, o in zip(procs, outputs):
         if p.returncode != 0:
             pytest.fail(f"worker failed (rc={p.returncode}):\n{o[-3000:]}")
+    return json.loads(out.read_text())
 
-    rec = json.loads(out.read_text())
+
+def test_two_process_run_matches_single_process(tmp_path):
+    rec = _run_two_process(tmp_path, "12875", "structured")
     assert rec["converged"]
     iters1, hist1 = _single_process_reference()
     assert rec["iterations"] == iters1, (rec["iterations"], iters1)
     # atol floor: the final entries sit at machine zero where cross-
     # process reduction-order noise is all that remains
+    np.testing.assert_allclose(rec["history"], hist1, rtol=1e-9,
+                               atol=1e-14)
+    assert rec["err_local"] < 1e-7
+
+
+def test_two_process_unstructured_matches_single_process(tmp_path):
+    # the generic-partition (unstructured) composite with multi-host
+    # local-only setup: every stacked device array is materialized only
+    # for owned shards, yet the residual history must reproduce the
+    # single-process run
+    rec = _run_two_process(tmp_path, "12877", "unstructured")
+    assert rec["converged"]
+    iters1, hist1 = _single_process_reference("unstructured")
+    assert rec["iterations"] == iters1, (rec["iterations"], iters1)
     np.testing.assert_allclose(rec["history"], hist1, rtol=1e-9,
                                atol=1e-14)
     assert rec["err_local"] < 1e-7
