@@ -240,6 +240,8 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
             "D": diff_matrix(n_o),
         })
 
+    per_slv_ids = {}    # [c][p] class-local fine slave node ids
+    per_slv_cols = {}   # [c][p] class-local coarse constraint node ids
     for c in range(C - 1):
         nf, nc = orders[c] + 1, orders[c + 1] + 1
         glo_f = mesh_by_order[orders[c]].glo_num
@@ -263,6 +265,8 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
             else:
                 per_cols.append(np.zeros((0, Kc), dtype=np.int32))
             per_wts.append(wts)
+        per_slv_ids[c] = per_ids
+        per_slv_cols[c] = per_cols
         Ns = max(a.size for a in per_ids)     # global max (SPMD shapes)
         K = nc ** (dim - 1)
         ids_a = np.full((Po, Ns), classes[c]["NN"], dtype=np.int32)
@@ -380,6 +384,147 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
             "ns": ns,
         }
 
+    # ---- face-block assembly plans + touched-node compaction ----
+    # The per-class scatter/gather assembly dominates the composite solve
+    # on TPU (~30 ms/pass at 2.1M pts); replace it with the face-pair
+    # exchange (ops/face_dssum.py, exact) and run the slave/superdomain
+    # constraint algebra on a COMPACT vector of just the touched nodes.
+    # The index pass runs for every shard (global pad maxima are SPMD
+    # shape requirements); stacked device arrays are owned-only.
+    fb_meta = None
+    if dim == 3:
+        from ..ops import face_dssum as fd
+        ok = True
+        cls_plans = []          # [c][p] -> plan arrays
+        cls_NR = []
+        for c in range(C):
+            n_c = orders[c] + 1
+            plans_c, NRs = [], []
+            for p in range(Pn):
+                s = cls_setups[c][p]
+                gl = s["gids"].reshape(s["E"], s["npe"]).astype(np.int64)
+                gl = np.where(gl == s["NN"], -1, gl)
+                deg_c = np.bincount(gl[gl >= 0],
+                                    minlength=s["NN"]).astype(np.int64)
+                deg_pts = np.where(gl >= 0, deg_c[np.maximum(gl, 0)], 0)
+                plan, meta = fd.build_face_plan(gl, n_c, deg_pts)
+                if plan is None:
+                    ok = False
+                    break
+                # plan's rest_ids index its own compact node list; remap
+                # to CLASS-LOCAL node ids so the compact vector can be
+                # shared with the slave algebra? No — keep the plan
+                # self-contained; slave algebra uses its own compact set.
+                plans_c.append(plan)
+                NRs.append(meta["num_rest_nodes"])
+            if not ok:
+                break
+            cls_plans.append(plans_c)
+            cls_NR.append(max(NRs) if NRs else 0)
+        if ok:
+            # touched-node sets per class: slave cols from below, slave
+            # ids to above, superdomain interface on the coarsest class
+            cls_T = []          # [c][p] -> sorted class-local node ids
+            for c in range(C):
+                per_T = []
+                for p in range(Pn):
+                    parts_T = []
+                    if c > 0 and per_slv_cols[c - 1][p].size:
+                        parts_T.append(per_slv_cols[c - 1][p].reshape(-1))
+                    if c < C - 1 and per_slv_ids[c][p].size:
+                        parts_T.append(per_slv_ids[c][p])
+                    if c == C - 1 and sup is not None:
+                        parts_T.append(np.asarray(
+                            [ci for ci, _ in per[p]["iface"]],
+                            dtype=np.int64))
+                    T = (np.unique(np.concatenate(parts_T))
+                         if parts_T else np.zeros(0, np.int64))
+                    per_T.append(T)
+                cls_T.append(per_T)
+            cls_NT = [max(t.size for t in cls_T[c]) for c in range(C)]
+
+            # remap slave/sup index arrays into T-compact numbering and
+            # build per-class write-back maps (owned shards only)
+            def tmap_of(c, p):
+                T = cls_T[c][p]
+                m = np.full(cls_setups[c][p]["NN"] + 1, cls_NT[c],
+                            dtype=np.int32)
+                m[T] = np.arange(T.size, dtype=np.int32)
+                return m
+
+            for c in range(C - 1):
+                s = slaves[c]
+                for j, p in enumerate(owned):
+                    mf = tmap_of(c, p)
+                    mc = tmap_of(c + 1, p)
+                    nn_f = cls_setups[c][p]["NN"]
+                    nn_c = cls_setups[c + 1][p]["NN"]
+                    real = s["ids"][j] < nn_f
+                    s["ids"][j] = np.where(
+                        real, mf[np.minimum(s["ids"][j], nn_f)],
+                        cls_NT[c])
+                    realc = s["cols"][j] < nn_c
+                    s["cols"][j] = np.where(
+                        realc, mc[np.minimum(s["cols"][j], nn_c)],
+                        cls_NT[c + 1])
+            if sup is not None:
+                for j, p in enumerate(owned):
+                    mt = tmap_of(C - 1, p)
+                    nn_t = cls_setups[C - 1][p]["NN"]
+                    real = sup["ifc"][j] < nn_t
+                    sup["ifc"][j] = np.where(
+                        real, mt[np.minimum(sup["ifc"][j], nn_t)],
+                        cls_NT[C - 1])
+
+            fb_meta = {"n": [orders[c] + 1 for c in range(C)],
+                       "NR": cls_NR, "NT": cls_NT}
+            for c in range(C):
+                shapes = {key: max(pl[key].shape[0]
+                                   for pl in cls_plans[c])
+                          for key in ("rest", "rest_ids", "rb_local",
+                                      "rb_global")}
+                padded = [fd.plan_pad_to(cls_plans[c][p], cls_NR[c],
+                                         shapes) for p in owned]
+                fbp = {key: np.stack([pl[key] for pl in padded])
+                       for key in padded[0]}
+                for key in ("cls_masks", "rowmask"):
+                    fbp[key] = fbp[key].astype(np.float64)
+                trep = np.zeros((Po, cls_NT[c] + 1), dtype=np.int32)
+                NPT = 0
+                tp_list, ti_list = [], []
+                for j, p in enumerate(owned):
+                    T = cls_T[c][p]
+                    tm = tmap_of(c, p)
+                    gl = cls_setups[c][p]["gids"]
+                    sel = np.flatnonzero(np.isin(
+                        gl, T, assume_unique=False))
+                    tp_list.append(sel.astype(np.int64))
+                    ti_list.append(tm[gl[sel]])
+                    # representative point per touched node
+                    first = np.full(cls_NT[c] + 1, 0, dtype=np.int32)
+                    seen = np.zeros(cls_NT[c] + 1, dtype=bool)
+                    for pt, ti in zip(sel[::-1], tm[gl[sel]][::-1]):
+                        first[ti] = pt       # reversed: keep the first
+                    trep[j] = first
+                    NPT = max(NPT, sel.size)
+                tpts = np.full((Po, NPT), 2 ** 31 - 1, dtype=np.int64)
+                tids = np.full((Po, NPT), cls_NT[c], dtype=np.int32)
+                for j in range(Po):
+                    k = tp_list[j].size
+                    tpts[j, :k] = tp_list[j]
+                    tids[j, :k] = ti_list[j]
+                classes[c]["fbp"] = fbp
+                classes[c]["trep"] = trep
+                classes[c]["tpts"] = tpts
+                classes[c]["tids"] = tids
+                # point-space mask (replaces nmask[gids] gather)
+                pm = np.zeros((Po, classes[c]["E"]
+                               * classes[c]["n"] ** dim))
+                for j, p in enumerate(owned):
+                    s = cls_setups[c][p]
+                    pm[j] = s["nmask"][np.minimum(s["gids"], s["NN"])]
+                classes[c]["pmask"] = pm
+
     # ---- device pytree (shard_put: squeezed single-device, stacked
     #      single-process SPMD, global jax.Arrays multi-process) ----
     sh = domain.shard_put
@@ -391,8 +536,8 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
                          brows=sh(np.asarray(b.brows)),
                          n_rows=b.n_rows, n_cols=b.n_cols)
 
-    extra = {
-        "classes": [{
+    def _cls_device(cl):
+        out = {
             "gids": sh(cl["gids"]),
             "nmask": sh(cl["nmask"], dtype=dtype),
             "geom": sh(cl["geom"], dtype=dtype),
@@ -401,7 +546,19 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
             "vids": sh(cl["vids"]),
             "pw": sh(cl["pw"], dtype=dtype),
             "D": jnp.asarray(cl["D"], dtype=dtype),
-        } for cl in classes],
+        }
+        if "fbp" in cl:
+            out["fbp"] = {
+                k: sh(v, dtype=(dtype if v.dtype == np.float64 else None))
+                for k, v in cl["fbp"].items()}
+            out["trep"] = sh(cl["trep"])
+            out["tpts"] = sh(cl["tpts"])
+            out["tids"] = sh(cl["tids"])
+            out["pmask"] = sh(cl["pmask"], dtype=dtype)
+        return out
+
+    extra = {
+        "classes": [_cls_device(cl) for cl in classes],
         "slv": [{
             "ids": sh(s["ids"]),
             "cols": sh(s["cols"]),
@@ -427,11 +584,17 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
         }
 
     def core_specs(ax):
+        def cspec(cl):
+            s = {"gids": P(ax), "nmask": P(ax), "geom": P(ax),
+                 "src": P(ax), "valid": P(ax), "vids": P(ax),
+                 "pw": P(ax), "D": P()}
+            if "fbp" in cl:
+                s["fbp"] = {k: P(ax) for k in cl["fbp"]}
+                s.update(trep=P(ax), tpts=P(ax), tids=P(ax), pmask=P(ax))
+            return s
+
         specs = {
-            "classes": [{"gids": P(ax), "nmask": P(ax), "geom": P(ax),
-                         "src": P(ax), "valid": P(ax), "vids": P(ax),
-                         "pw": P(ax), "D": P()}
-                        for _ in classes],
+            "classes": [cspec(cl) for cl in classes],
             "slv": [{"ids": P(ax), "cols": P(ax), "wts": P(ax)}
                     for _ in slaves],
             "Jlvl": [P() for _ in extra["Jlvl"]],
@@ -515,7 +678,11 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
                 out.append(bsr_spmv(sup_x["A"], parts[C]))
             return out
 
+        use_fb = fb_meta is not None and "fbp" in cls_x[0]
+
         def comp_dssum(parts, apply_mask=True):
+            if use_fb:
+                return comp_dssum_fb(parts, apply_mask)
             # scatter to per-class assembled nodes
             ws = []
             for c in range(C):
@@ -548,6 +715,58 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
             for c in range(C):
                 w = ws[c] * cls_x[c]["nmask"] if apply_mask else ws[c]
                 outs.append(w[cls_x[c]["gids"]].reshape(cls_shapes[c]))
+            if sup_x is not None:
+                outs.append(w_sup * sup_x["mask"] if apply_mask else w_sup)
+            return outs
+
+        def comp_dssum_fb(parts, apply_mask=True):
+            # face-block exact assembly per class (ops/face_dssum.py),
+            # with the slave/superdomain constraint algebra run on a
+            # COMPACT vector of just the touched nodes — the full-size
+            # class scatters/gathers of the fallback path are the
+            # composite solve's dominant TPU cost (30 ms -> 9 ms/pass)
+            from ..ops import face_dssum as fd
+            ys, wTs = [], []
+            for c in range(C):
+                cx = cls_x[c]
+                if cls_shapes[c][0] == 0:       # empty ring class
+                    ys.append(parts[c])
+                    wTs.append(jnp.zeros((cx["trep"].shape[0],),
+                                         parts[c].dtype))
+                    continue
+                y = fd.face_assemble(parts[c], cx["fbp"],
+                                     fb_meta["n"][c], fb_meta["NR"][c])
+                ys.append(y)
+                # compact touched-node values (trash slot NT reads
+                # point 0 — every use of it is masked or dropped)
+                wTs.append(y.reshape(-1)[cx["trep"]])
+            for c in range(C - 1):
+                s = slv_x[c]
+                contrib = s["wts"] * wTs[c][s["ids"]][:, None]
+                wTs[c + 1] = wTs[c + 1].at[s["cols"]].add(contrib,
+                                                          mode="drop")
+            w_sup = None
+            if sup_x is not None:
+                w_sup = parts[C]
+                shared = wTs[C - 1][sup_x["ifc"]] + w_sup[sup_x["ifs"]]
+                wTs[C - 1] = wTs[C - 1].at[sup_x["ifc"]].set(
+                    shared, mode="drop")
+                w_sup = w_sup.at[sup_x["ifs"]].set(shared, mode="drop")
+            for c in range(C - 2, -1, -1):
+                s = slv_x[c]
+                vals = (s["wts"] * wTs[c + 1][s["cols"]]).sum(axis=1)
+                wTs[c] = wTs[c].at[s["ids"]].set(vals, mode="drop")
+            outs = []
+            for c in range(C):
+                cx = cls_x[c]
+                if cls_shapes[c][0] == 0:
+                    outs.append(ys[c])
+                    continue
+                y = ys[c].reshape(-1)
+                y = y.at[cx["tpts"]].set(wTs[c][cx["tids"]], mode="drop")
+                if apply_mask:
+                    y = y * cx["pmask"]
+                outs.append(y.reshape(cls_shapes[c]))
             if sup_x is not None:
                 outs.append(w_sup * sup_x["mask"] if apply_mask else w_sup)
             return outs
