@@ -11,8 +11,11 @@ Writes: artifacts/scaleup_64cubed.json
 
 import io
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

@@ -72,8 +72,13 @@ def _face_sum_kernel(u_ref, prev_ref, next_ref, out_ref, *, n, mz, cz):
     Wn = xy_sum(Nx)
 
     # z face sum using chunk-internal shifts + the halo planes
-    W_up = jnp.concatenate([W[1:], Wn], axis=0)       # value at z+1
-    W_dn = jnp.concatenate([Wp, W[:-1]], axis=0)      # value at z-1
+    # (single-plane chunks have no internal shift — Mosaic rejects the
+    # empty-vector concatenate a W[1:] slice would produce)
+    if cz > 1:
+        W_up = jnp.concatenate([W[1:], Wn], axis=0)   # value at z+1
+        W_dn = jnp.concatenate([Wp, W[:-1]], axis=0)  # value at z-1
+    else:
+        W_up, W_dn = Wn, Wp
     gz = c * cz
     hiz, loz = _masks_1d(mz, n, gz, cz, 0, W.shape, dtype)
     out_ref[...] = (W + hiz * W_up + loz * W_dn).astype(out_ref.dtype)
@@ -83,9 +88,12 @@ def _face_sum_kernel(u_ref, prev_ref, next_ref, out_ref, *, n, mz, cz):
 def lattice_face_sum_3d(U, n: int):
     """One-pass fused face summation on a 3-D lattice (Mz, My, Mx)."""
     mz, my, mx = U.shape
-    # z chunk: largest divisor of mz not exceeding the VMEM budget
-    # (compute happens in f32 regardless of the I/O dtype)
-    budget = max(1, (2 * 1024 * 1024) // max(my * mx * 4, 1))
+    # z chunk: largest divisor of mz not exceeding the VMEM budget.
+    # Scoped VMEM is 16 MB and the kernel holds ~10 chunk-sized f32
+    # buffers (in/out double-buffered + W/W_up/W_dn intermediates), so
+    # the chunk must stay under ~1.6 MB: at 512^2 xy-planes (the 64^3
+    # N=7 lattice) that means single-plane chunks.
+    budget = max(1, (1600 * 1024) // max(my * mx * 4, 1))
     cz = 1
     for d in range(1, mz + 1):
         if mz % d == 0 and d <= budget:
