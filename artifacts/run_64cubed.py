@@ -1,15 +1,19 @@
 """One-chip Kershaw 64^3 N=7 run — the reference's headline mesh size
 (run.py:26: Kershaw 64^3 at 32-1024 ranks on Summit) on a single TPU.
 
-134M element points / 91M nodes. FCG outer (GMRES(20)'s 40-vector basis
-would not fit in 16 GB HBM; FCG is the reference's solver_id=0 path,
-domain.tpp:613-725), bf16 composite preconditioner, f32 outer.
+134M element points / 91M nodes in 16 GB HBM. Memory discipline:
+- FCG outer (GMRES(20)'s 40-vector basis would not fit; FCG is the
+  reference's solver_id=0 path, domain.tpp:613-725);
+- bf16 composite preconditioner with inner GMRES(3);
+- u* fetched to host and freed from device before the solve (only f and
+  the Krylov state stay resident);
+- factor-major lattice geometry (no XLA layout copies — the first
+  attempt OOM'd on 4.5 GB of geometry transposes).
 
-Usage:  python artifacts/run_64cubed.py [shape_exponent]
-Writes: artifacts/scaleup_64cubed.json
+Usage:  python artifacts/run_64cubed.py [m] ;  writes
+artifacts/scaleup_{m}cubed.json
 """
 
-import io
 import json
 import os
 import sys
@@ -20,24 +24,86 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     m = int(sys.argv[1]) if len(sys.argv) > 1 else 64
-    from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.runtime.config import Config
-    from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.runtime.driver import run_simulation
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+    from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.mesh import generator as mg
+    from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.mesh.partition import partition_mesh
+    from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.solvers.domain import Domain
+    from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.solvers import subdomain as sub
+    from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.runtime.checkpoint import cached_mesh_builder
 
-    cfg = Config(mesh="kershaw", shape=(m, m, m), epsilon=0.3,
-                 poly_degree=7, poly_reduction=6,
-                 stype="float32", ptype="bfloat16",
-                 solver="fcg", max_iterations=200,
-                 checkpoint="/root/repo/.ckpt_cache")
+    ckpt = "/root/repo/.ckpt_cache"
+    shape = (m, m, m)
+    builder = cached_mesh_builder(
+        partial(mg.kershaw_mesh, shape, epsilon=0.3), ckpt,
+        f"kershaw_{m}x{m}x{m}_e0.3_sNone")
     t0 = time.time()
-    buf = io.StringIO()
-    rec = run_simulation(cfg, out=buf)
-    rec["wall_seconds"] = time.time() - t0
-    sys.stderr.write(buf.getvalue()[-3000:] + "\n")
+    mesh = builder(7)
+    sd = partition_mesh(mesh, 1)
+    dom = Domain(sd, dtype=jnp.float32)
+    t_mesh = time.time() - t0
+    print(f"mesh setup {t_mesh:.1f}s  points={mesh.num_points}",
+          file=sys.stderr)
+
+    t0 = time.time()
+    pre = sub.composite_dd(
+        dom, builder, poly_reduction=6, inner="amg", ptype=jnp.bfloat16,
+        num_iterations=3, fine_mesh=mesh,
+        chain_cache=os.path.join(ckpt, f"chain_kershaw_{m}cubed.npz"))
+    t_pre = time.time() - t0
+    print(f"preconditioner setup {t_pre:.1f}s", file=sys.stderr)
+
+    u_star_dev = dom.initial_function(4, seed=0)
+    f = dom.manufacture_rhs(u_star_dev)
+    u_star = dom.from_device_field(u_star_dev)
+    u_star_dev.delete()
+    del u_star_dev
+
+    solve = dom.solver(method="fcg", precond=pre, max_iterations=100)
+    t0 = time.time()
+    res = solve(f)
+    its = int(res.iterations)        # forces execution
+    t_first = time.time() - t0
+    hist = np.asarray(res.residual_history)
+    hist = hist[np.isfinite(hist)]
+    conv = bool(res.converged)
+    print(f"first solve (incl compile): {t_first:.1f}s  iterations={its} "
+          f"converged={conv}", file=sys.stderr)
+
+    err = float(np.abs(dom.from_device_field(res.u) - u_star).max())
+    res.u.delete()
+
+    # timed re-run (dispatch+fetch overhead subtracted via double fetch)
+    t0 = time.time()
+    res = solve(f)
+    int(res.iterations)
+    total = time.time() - t0
+    t0 = time.time()
+    int(res.iterations)
+    overhead = time.time() - t0
+    t_solve = max(total - overhead, 0.0)
+    print(f"solve: {t_solve:.3f}s  ({t_solve/max(its,1)*1e3:.1f} ms/iter)",
+          file=sys.stderr)
+
+    rec = {
+        "mesh": f"kershaw eps=0.3 {m}^3 N=7 r=6",
+        "points": mesh.num_points,
+        "solver": "fcg + composite(bf16, inner GMRES(3))",
+        "iterations": its,
+        "converged": conv,
+        "residual_history": hist.tolist(),
+        "max_error": err,
+        "solve_seconds": round(t_solve, 4),
+        "first_solve_seconds": round(t_first, 2),
+        "setup_mesh_seconds": round(t_mesh, 1),
+        "setup_preconditioner_seconds": round(t_pre, 1),
+    }
     with open(f"artifacts/scaleup_{m}cubed.json", "w") as fh:
         json.dump(rec, fh, indent=1)
-    print("DONE", m, rec["iterations"], rec["converged"],
-          rec["solve_seconds"])
-    return 0
+    print("DONE", m, its, conv, t_solve)
+    return 0 if conv else 1
 
 
 if __name__ == "__main__":

@@ -198,25 +198,28 @@ _dmul = dmul   # internal alias (square-D callers)
 def stiffness_apply_lattice(U, G, D, dim: int):
     """SEM stiffness apply on point-lattice fields.
 
-    U: (Mz, My, Mx) (or (My, Mx) in 2D), G: U.shape + (nG,), D: (n, n).
-    Same math as stiffness_apply (domain.okl:5-98) in the lattice layout —
-    avoids the element<->lattice transposes in the hot path.
+    U: (Mz, My, Mx) (or (My, Mx) in 2D), G: (nG,) + U.shape
+    FACTOR-MAJOR (each geometric factor is a contiguous lattice — a
+    trailing factor axis makes XLA materialize a full transposed copy of
+    the 3 GB geometry at 64^3 N=7), D: (n, n). Same math as
+    stiffness_apply (domain.okl:5-98) in the lattice layout — avoids the
+    element<->lattice transposes in the hot path.
     """
     n = D.shape[0]
     Dt = D.T
     if dim == 2:
         Dr = _dmul(D, U, 1, n)
         Ds = _dmul(D, U, 0, n)
-        Wr = G[..., 0] * Dr + G[..., 2] * Ds
-        Ws = G[..., 2] * Dr + G[..., 1] * Ds
+        Wr = G[0] * Dr + G[2] * Ds
+        Ws = G[2] * Dr + G[1] * Ds
         return _dmul(Dt, Wr, 1, n) + _dmul(Dt, Ws, 0, n)
     if dim == 3:
         Dr = _dmul(D, U, 2, n)
         Ds = _dmul(D, U, 1, n)
         Dt_ = _dmul(D, U, 0, n)
-        Wr = G[..., 0] * Dr + G[..., 3] * Ds + G[..., 4] * Dt_
-        Ws = G[..., 3] * Dr + G[..., 1] * Ds + G[..., 5] * Dt_
-        Wt = G[..., 4] * Dr + G[..., 5] * Ds + G[..., 2] * Dt_
+        Wr = G[0] * Dr + G[3] * Ds + G[4] * Dt_
+        Ws = G[3] * Dr + G[1] * Ds + G[5] * Dt_
+        Wt = G[4] * Dr + G[5] * Ds + G[2] * Dt_
         return (_dmul(Dt, Wr, 2, n) + _dmul(Dt, Ws, 1, n)
                 + _dmul(Dt, Wt, 0, n))
     raise ValueError(f"dim must be 2 or 3, got {dim}")
@@ -225,8 +228,10 @@ def stiffness_apply_lattice(U, G, D, dim: int):
 def stiffness_diagonal_lattice(G, D, dim: int):
     """Exact matrix-free operator diagonal in the point-lattice layout.
 
-    Same closed form as stiffness_diagonal, expressed as block-diagonal
-    contractions with D*D plus tiled-diagonal cross terms.
+    G is FACTOR-MAJOR: (nG,) + lattice shape (see
+    stiffness_apply_lattice). Same closed form as stiffness_diagonal,
+    expressed as block-diagonal contractions with D*D plus
+    tiled-diagonal cross terms.
     """
     n = D.shape[0]
     D2t = (D * D).T
@@ -240,21 +245,21 @@ def stiffness_diagonal_lattice(G, D, dim: int):
         return v.reshape(s)
 
     if dim == 2:
-        shape = G.shape[:-1]
-        t_r = _dmul(D2t, G[..., 0], 1, n)
-        t_s = _dmul(D2t, G[..., 1], 0, n)
-        t_rs = 2.0 * tiled_diag(1, shape) * tiled_diag(0, shape) * G[..., 2]
+        shape = G.shape[1:]
+        t_r = _dmul(D2t, G[0], 1, n)
+        t_s = _dmul(D2t, G[1], 0, n)
+        t_rs = 2.0 * tiled_diag(1, shape) * tiled_diag(0, shape) * G[2]
         return t_r + t_s + t_rs
     if dim == 3:
-        shape = G.shape[:-1]
-        t_r = _dmul(D2t, G[..., 0], 2, n)
-        t_s = _dmul(D2t, G[..., 1], 1, n)
-        t_t = _dmul(D2t, G[..., 2], 0, n)
+        shape = G.shape[1:]
+        t_r = _dmul(D2t, G[0], 2, n)
+        t_s = _dmul(D2t, G[1], 1, n)
+        t_t = _dmul(D2t, G[2], 0, n)
         di = tiled_diag(2, shape)
         dj = tiled_diag(1, shape)
         dk = tiled_diag(0, shape)
-        t_cross = 2.0 * (di * dj * G[..., 3] + di * dk * G[..., 4]
-                         + dj * dk * G[..., 5])
+        t_cross = 2.0 * (di * dj * G[3] + di * dk * G[4]
+                         + dj * dk * G[5])
         return t_r + t_s + t_t + t_cross
     raise ValueError(f"dim must be 2 or 3, got {dim}")
 

@@ -38,7 +38,9 @@ _HI = jax.lax.Precision.HIGHEST
 class DomainArrays:
     """Device-resident per-shard state (pytree). Per-shard fields carry a
     leading shard axis that shard_map splits; D is replicated."""
-    geom: jax.Array            # (P, E, npe, nG)
+    geom: jax.Array            # unstructured (P, E, npe, nG); structured
+    #   lattice FACTOR-MAJOR (P, nG, Mz, My, Mx) — see
+    #   sem.stiffness_apply_lattice
     mask: jax.Array            # (P, E*npe)
     gather_ids: jax.Array      # (P, E*npe) int32
     inv_degree: jax.Array      # (P, NN+1)
@@ -117,8 +119,11 @@ class Domain:
             self.local_grid = grid
             self.lattice_shape = tuple(g * n for g in grid)
 
-            geom = np.stack([self._host_elem_to_lattice(sharded.geom[p])
-                             for p in range(n_own)])
+            # factor-major (P, nG, Mz, My, Mx): each geometric factor a
+            # contiguous lattice (see sem.stiffness_apply_lattice)
+            geom = np.stack([np.moveaxis(
+                self._host_elem_to_lattice(sharded.geom[p]), -1, 0)
+                for p in range(n_own)])
             mask = np.stack([self._host_elem_to_lattice(
                 sharded.dirichlet_mask[p]) for p in range(n_own)])
             invd = np.stack([self._host_elem_to_lattice(
@@ -324,9 +329,9 @@ class Domain:
 
             def op_dssum(z, apply_mask=True):
                 Au_lo = sem.stiffness_apply_lattice(
-                    z[:n_], arrays.geom[:n_], arrays.D, self.dim)
+                    z[:n_], arrays.geom[:, :n_], arrays.D, self.dim)
                 Au_hi = sem.stiffness_apply_lattice(
-                    z[-n_:], arrays.geom[-n_:], arrays.D, self.dim)
+                    z[-n_:], arrays.geom[:, -n_:], arrays.D, self.dim)
                 pl_axes = tuple(range(self.dim - 1))
                 plane_lo = gs.lattice_face_sum(Au_lo[0], n_, axes=pl_axes)
                 plane_hi = gs.lattice_face_sum(Au_hi[-1], n_, axes=pl_axes)
@@ -336,7 +341,7 @@ class Domain:
                 from_above = jax.lax.ppermute(plane_lo, axis, down)
                 # the big interior apply: independent of the permutes
                 Au_mid = sem.stiffness_apply_lattice(
-                    z[n_:-n_], arrays.geom[n_:-n_], arrays.D, self.dim)
+                    z[n_:-n_], arrays.geom[:, n_:-n_], arrays.D, self.dim)
                 q = jnp.concatenate([Au_lo, Au_mid, Au_hi], axis=0)
                 U = gs.lattice_face_sum(q, n_)
                 U = U.at[0].add(from_below)

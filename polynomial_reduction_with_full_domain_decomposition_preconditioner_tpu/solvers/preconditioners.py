@@ -93,7 +93,8 @@ def _level_arrays(domain, orders, mesh_builder):
             return elements_to_lattice(arr_p, grid, n_c, dim)
 
         n_own = len(sd.owned)
-        geom = np.stack([to_lat(sd.geom[p]) for p in range(n_own)])
+        geom = np.stack([np.moveaxis(to_lat(sd.geom[p]), -1, 0)
+                         for p in range(n_own)])
         mask = np.stack([to_lat(sd.dirichlet_mask[p])
                          for p in range(n_own)])
         invd = np.stack([to_lat(sd.inv_degree_pts[p])

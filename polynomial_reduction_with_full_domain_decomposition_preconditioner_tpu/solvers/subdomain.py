@@ -429,7 +429,9 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
                 mesh_o, phys,
                 (1.0 / mesh_o.node_degree.astype(np.float64))[..., None])[..., 0])
         group_data.append({
-            "geom": domain.shard_put(np.stack(geom_list), dtype=dtype),
+            # factor-major lattice (see sem.stiffness_apply_lattice)
+            "geom": domain.shard_put(
+                np.moveaxis(np.stack(geom_list), -1, 1), dtype=dtype),
             "mask": domain.shard_put(np.stack(mask_list), dtype=dtype),
             "weight": domain.shard_put(np.stack(wt_list), dtype=dtype),
             "D": jnp.asarray(diff_matrix(n_o), dtype=dtype),
