@@ -190,12 +190,27 @@ class Domain:
             layer_counts = np.zeros((n_own,), dtype=np.int32)
             self.ragged = False
 
+        if sharded.structured is not None:
+            # the structured lattice path never touches the generic
+            # gather/scatter plan — placeholders save ~0.9 GB of HBM at
+            # 64^3 N=7 (gather_ids alone is one int32 per point)
+            gather_ids = np.zeros((n_own, 1), dtype=np.int32)
+            inv_degree = np.zeros((n_own, 1))
+        else:
+            gather_ids = sharded.gather_ids
+            inv_degree = sharded.inv_degree
+        # mask is 0/1 and the structured inverse multiplicities are
+        # powers of two ({1, 1/2, 1/4, 1/8}) — exactly representable in
+        # bfloat16, and bf16 * f32 promotes to f32, so storing them
+        # half-width is bitwise-neutral and saves ~0.5 GB at 64^3 N=7
+        small = jnp.bfloat16 if (sharded.structured is not None
+                                 and dtype == jnp.float32) else dtype
         arrays = DomainArrays(
             geom=np.asarray(geom, dtype=dtype),
-            mask=np.asarray(mask, dtype=dtype),
-            gather_ids=sharded.gather_ids,
-            inv_degree=np.asarray(sharded.inv_degree, dtype=dtype),
-            inv_degree_pts=np.asarray(invd, dtype=dtype),
+            mask=np.asarray(mask, dtype=small),
+            gather_ids=gather_ids,
+            inv_degree=np.asarray(inv_degree, dtype=dtype),
+            inv_degree_pts=np.asarray(invd, dtype=small),
             bnode_local=sharded.bnode_local,
             bnode_global=sharded.bnode_global,
             D=np.asarray(D),
