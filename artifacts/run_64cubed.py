@@ -24,6 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     m = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    inner_iters = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -50,7 +51,7 @@ def main():
     t0 = time.time()
     pre = sub.composite_dd(
         dom, builder, poly_reduction=6, inner="amg", ptype=jnp.bfloat16,
-        num_iterations=3, fine_mesh=mesh,
+        num_iterations=inner_iters, fine_mesh=mesh,
         chain_cache=os.path.join(ckpt, f"chain_kershaw_{m}cubed.npz"))
     t_pre = time.time() - t0
     print(f"preconditioner setup {t_pre:.1f}s", file=sys.stderr)
@@ -90,7 +91,7 @@ def main():
     rec = {
         "mesh": f"kershaw eps=0.3 {m}^3 N=7 r=6",
         "points": mesh.num_points,
-        "solver": "fcg + composite(bf16, inner GMRES(3))",
+        "solver": f"fcg + composite(bf16, inner GMRES({inner_iters}))",
         "iterations": its,
         "converged": conv,
         "residual_history": hist.tolist(),

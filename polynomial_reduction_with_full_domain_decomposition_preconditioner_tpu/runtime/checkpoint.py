@@ -70,7 +70,10 @@ def load_hierarchies(path: str) -> list[HostHierarchy]:
 
 
 def save_mesh(path: str, mesh):
-    np.savez_compressed(
+    # uncompressed: the 64^3 N=7 mesh is ~15 GB of float64 — zlib made
+    # single-core cache loads take ~10 minutes; raw npz reads at disk
+    # speed (the cache is local scratch, size is cheap)
+    np.savez(
         path, dim=np.asarray(mesh.dim),
         poly_degree=np.asarray(mesh.poly_degree),
         elem_shape=np.asarray(mesh.elem_shape),
