@@ -198,12 +198,13 @@ _dmul = dmul   # internal alias (square-D callers)
 def stiffness_apply_lattice(U, G, D, dim: int):
     """SEM stiffness apply on point-lattice fields.
 
-    U: (Mz, My, Mx) (or (My, Mx) in 2D), G: (nG,) + U.shape
-    FACTOR-MAJOR (each geometric factor is a contiguous lattice — a
-    trailing factor axis makes XLA materialize a full transposed copy of
-    the 3 GB geometry at 64^3 N=7), D: (n, n). Same math as
-    stiffness_apply (domain.okl:5-98) in the lattice layout — avoids the
-    element<->lattice transposes in the hot path.
+    U: (Mz, My, Mx) (or (My, Mx) in 2D); G: a TUPLE of nG per-factor
+    lattices, each U.shape (measured fastest on TPU: a trailing factor
+    axis makes XLA materialize a 3 GB transposed geometry copy at 64^3
+    N=7, and a stacked (nG,)+lattice array runs ~20% slower than
+    separate buffers — artifacts A/B 141/148/174 us); D: (n, n). Same
+    math as stiffness_apply (domain.okl:5-98) in the lattice layout —
+    avoids the element<->lattice transposes in the hot path.
     """
     n = D.shape[0]
     Dt = D.T
@@ -228,10 +229,9 @@ def stiffness_apply_lattice(U, G, D, dim: int):
 def stiffness_diagonal_lattice(G, D, dim: int):
     """Exact matrix-free operator diagonal in the point-lattice layout.
 
-    G is FACTOR-MAJOR: (nG,) + lattice shape (see
-    stiffness_apply_lattice). Same closed form as stiffness_diagonal,
-    expressed as block-diagonal contractions with D*D plus
-    tiled-diagonal cross terms.
+    G is a tuple of per-factor lattices (see stiffness_apply_lattice).
+    Same closed form as stiffness_diagonal, expressed as block-diagonal
+    contractions with D*D plus tiled-diagonal cross terms.
     """
     n = D.shape[0]
     D2t = (D * D).T
@@ -245,13 +245,13 @@ def stiffness_diagonal_lattice(G, D, dim: int):
         return v.reshape(s)
 
     if dim == 2:
-        shape = G.shape[1:]
+        shape = G[0].shape
         t_r = _dmul(D2t, G[0], 1, n)
         t_s = _dmul(D2t, G[1], 0, n)
         t_rs = 2.0 * tiled_diag(1, shape) * tiled_diag(0, shape) * G[2]
         return t_r + t_s + t_rs
     if dim == 3:
-        shape = G.shape[1:]
+        shape = G[0].shape
         t_r = _dmul(D2t, G[0], 2, n)
         t_s = _dmul(D2t, G[1], 1, n)
         t_t = _dmul(D2t, G[2], 0, n)

@@ -39,8 +39,8 @@ class DomainArrays:
     """Device-resident per-shard state (pytree). Per-shard fields carry a
     leading shard axis that shard_map splits; D is replicated."""
     geom: jax.Array            # unstructured (P, E, npe, nG); structured
-    #   lattice FACTOR-MAJOR (P, nG, Mz, My, Mx) — see
-    #   sem.stiffness_apply_lattice
+    #   lattice: a TUPLE of nG per-factor (P, Mz, My, Mx) arrays — see
+    #   sem.stiffness_apply_lattice (fastest layout, no XLA transposes)
     mask: jax.Array            # (P, E*npe)
     gather_ids: jax.Array      # (P, E*npe) int32
     inv_degree: jax.Array      # (P, NN+1)
@@ -53,17 +53,25 @@ class DomainArrays:
     #   per-shard leaves; None on structured / non-hex / multi-process
 
 
-def _specs(axis: str, fb=None):
+def _specs(axis: str, arrays: "DomainArrays | None" = None):
+    geom_spec = P(axis)
+    fb = None
+    if arrays is not None:
+        if isinstance(arrays.geom, tuple):
+            geom_spec = tuple(P(axis) for _ in arrays.geom)
+        if arrays.fb is not None:
+            fb = {k: P(axis) for k in arrays.fb}
     return DomainArrays(
-        geom=P(axis), mask=P(axis), gather_ids=P(axis), inv_degree=P(axis),
-        inv_degree_pts=P(axis), bnode_local=P(axis), bnode_global=P(axis),
-        D=P(), layers=P(axis),
-        fb=None if fb is None else {k: P(axis) for k in fb})
+        geom=geom_spec, mask=P(axis), gather_ids=P(axis),
+        inv_degree=P(axis), inv_degree_pts=P(axis), bnode_local=P(axis),
+        bnode_global=P(axis), D=P(), layers=P(axis), fb=fb)
 
 
 def _squeeze_shard(a: DomainArrays) -> DomainArrays:
+    geom = (tuple(g[0] for g in a.geom) if isinstance(a.geom, tuple)
+            else a.geom[0])
     return DomainArrays(
-        geom=a.geom[0], mask=a.mask[0], gather_ids=a.gather_ids[0],
+        geom=geom, mask=a.mask[0], gather_ids=a.gather_ids[0],
         inv_degree=a.inv_degree[0], inv_degree_pts=a.inv_degree_pts[0],
         bnode_local=a.bnode_local[0], bnode_global=a.bnode_global[0], D=a.D,
         layers=a.layers[0],
@@ -119,11 +127,14 @@ class Domain:
             self.local_grid = grid
             self.lattice_shape = tuple(g * n for g in grid)
 
-            # factor-major (P, nG, Mz, My, Mx): each geometric factor a
-            # contiguous lattice (see sem.stiffness_apply_lattice)
-            geom = np.stack([np.moveaxis(
-                self._host_elem_to_lattice(sharded.geom[p]), -1, 0)
-                for p in range(n_own)])
+            # tuple of per-factor (P, Mz, My, Mx) lattices: separate
+            # contiguous buffers, the measured-fastest representation
+            # (see sem.stiffness_apply_lattice)
+            lat = [self._host_elem_to_lattice(sharded.geom[p])
+                   for p in range(n_own)]
+            geom = tuple(np.stack([l[..., k] for l in lat])
+                         for k in range(sharded.geom.shape[-1]))
+            del lat
             mask = np.stack([self._host_elem_to_lattice(
                 sharded.dirichlet_mask[p]) for p in range(n_own)])
             invd = np.stack([self._host_elem_to_lattice(
@@ -206,7 +217,9 @@ class Domain:
         small = jnp.bfloat16 if (sharded.structured is not None
                                  and dtype == jnp.float32) else dtype
         arrays = DomainArrays(
-            geom=np.asarray(geom, dtype=dtype),
+            geom=(tuple(np.asarray(g, dtype=dtype) for g in geom)
+                  if isinstance(geom, tuple)
+                  else np.asarray(geom, dtype=dtype)),
             mask=np.asarray(mask, dtype=small),
             gather_ids=gather_ids,
             inv_degree=np.asarray(inv_degree, dtype=dtype),
@@ -218,7 +231,7 @@ class Domain:
             fb=fb_stacked if sharded.structured is None else None,
         )
         if self.spmd:
-            spec = _specs(axis_name, arrays.fb)
+            spec = _specs(axis_name, arrays)
             arrays = jax.tree.map(
                 lambda x, s: self._put(x, s), arrays, spec,
                 is_leaf=lambda s: isinstance(s, P))
@@ -344,9 +357,11 @@ class Domain:
 
             def op_dssum(z, apply_mask=True):
                 Au_lo = sem.stiffness_apply_lattice(
-                    z[:n_], arrays.geom[:, :n_], arrays.D, self.dim)
+                    z[:n_], tuple(g[:n_] for g in arrays.geom),
+                    arrays.D, self.dim)
                 Au_hi = sem.stiffness_apply_lattice(
-                    z[-n_:], arrays.geom[:, -n_:], arrays.D, self.dim)
+                    z[-n_:], tuple(g[-n_:] for g in arrays.geom),
+                    arrays.D, self.dim)
                 pl_axes = tuple(range(self.dim - 1))
                 plane_lo = gs.lattice_face_sum(Au_lo[0], n_, axes=pl_axes)
                 plane_hi = gs.lattice_face_sum(Au_hi[-1], n_, axes=pl_axes)
@@ -356,7 +371,8 @@ class Domain:
                 from_above = jax.lax.ppermute(plane_lo, axis, down)
                 # the big interior apply: independent of the permutes
                 Au_mid = sem.stiffness_apply_lattice(
-                    z[n_:-n_], arrays.geom[:, n_:-n_], arrays.D, self.dim)
+                    z[n_:-n_], tuple(g[n_:-n_] for g in arrays.geom),
+                    arrays.D, self.dim)
                 q = jnp.concatenate([Au_lo, Au_mid, Au_hi], axis=0)
                 U = gs.lattice_face_sum(q, n_)
                 U = U.at[0].add(from_below)
@@ -467,7 +483,7 @@ class Domain:
                 u=P(ax), iterations=P(), residual_history=P(),
                 r0_norm=P(), converged=P())
             fn = jax.shard_map(spmd_impl, mesh=mesh,
-                               in_specs=(_specs(ax, self.arrays.fb), extra_specs, P(ax)),
+                               in_specs=(_specs(ax, self.arrays), extra_specs, P(ax)),
                                out_specs=out_specs)
             # arrays/extra are jit *arguments*, not closure captures: a
             # captured device array becomes an XLA constant, and constant
@@ -531,7 +547,7 @@ class Domain:
                 ax = self.axis_name
                 fn = jax.shard_map(
                     lambda a, u: run(_squeeze_shard(a), u[0])[None],
-                    mesh=self.device_mesh, in_specs=(_specs(ax, self.arrays.fb), P(ax)),
+                    mesh=self.device_mesh, in_specs=(_specs(ax, self.arrays), P(ax)),
                     out_specs=P(ax))
             else:
                 fn = run
@@ -582,7 +598,7 @@ class Domain:
 
             fn = jax.jit(jax.shard_map(
                 spmd_impl, mesh=self.device_mesh,
-                in_specs=(_specs(ax, self.arrays.fb), specs, P(ax)),
+                in_specs=(_specs(ax, self.arrays), specs, P(ax)),
                 out_specs=(P(ax), P())))
             return lambda r: fn(self.arrays, extra, r)
         jfn = jax.jit(impl)
@@ -678,7 +694,7 @@ class Domain:
 
                 cache[key] = jax.jit(jax.shard_map(
                     spmd_impl, mesh=self.device_mesh,
-                    in_specs=(_specs(ax, self.arrays.fb), specs, P(ax)),
+                    in_specs=(_specs(ax, self.arrays), specs, P(ax)),
                     out_specs=P()))
             else:
                 cache[key] = jax.jit(impl)
@@ -709,7 +725,7 @@ class Domain:
                 out_specs = (P(ax), P())
                 cache["residual"] = jax.jit(jax.shard_map(
                     fn, mesh=self.device_mesh,
-                    in_specs=(_specs(ax, self.arrays.fb), P(ax), P(ax)),
+                    in_specs=(_specs(ax, self.arrays), P(ax), P(ax)),
                     out_specs=out_specs))
             else:
                 cache["residual"] = jax.jit(run_local)

@@ -93,14 +93,16 @@ def _level_arrays(domain, orders, mesh_builder):
             return elements_to_lattice(arr_p, grid, n_c, dim)
 
         n_own = len(sd.owned)
-        geom = np.stack([np.moveaxis(to_lat(sd.geom[p]), -1, 0)
-                         for p in range(n_own)])
+        lat = [to_lat(sd.geom[p]) for p in range(n_own)]
+        geom = tuple(np.stack([l[..., k] for l in lat])
+                     for k in range(sd.geom.shape[-1]))
         mask = np.stack([to_lat(sd.dirichlet_mask[p])
                          for p in range(n_own)])
         invd = np.stack([to_lat(sd.inv_degree_pts[p])
                          for p in range(n_own)])
         levels.append({
-            "geom": domain.shard_put(geom, dtype=domain.dtype),
+            "geom": tuple(domain.shard_put(g, dtype=domain.dtype)
+                          for g in geom),
             "mask": domain.shard_put(mask, dtype=domain.dtype),
             "inv_degree_pts": domain.shard_put(invd, dtype=domain.dtype),
             "D": jnp.asarray(diff_matrix(n_c), dtype=domain.dtype),
@@ -150,8 +152,9 @@ def pmultigrid(domain, mesh_builder, poly_reduction: int = None,
     extra = {"levels": level_extra, "J": Js}
 
     def extra_specs(ax):
-        lev = [{"geom": P(ax), "mask": P(ax), "inv_degree_pts": P(ax),
-                "D": P()} for _ in level_extra]
+        lev = [{"geom": tuple(P(ax) for _ in lvl["geom"]),
+                "mask": P(ax), "inv_degree_pts": P(ax),
+                "D": P()} for lvl in level_extra]
         return {"levels": lev, "J": [P() for _ in Js]}
 
     dim = domain.dim

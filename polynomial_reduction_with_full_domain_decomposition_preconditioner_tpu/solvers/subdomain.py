@@ -429,9 +429,11 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
                 mesh_o, phys,
                 (1.0 / mesh_o.node_degree.astype(np.float64))[..., None])[..., 0])
         group_data.append({
-            # factor-major lattice (see sem.stiffness_apply_lattice)
-            "geom": domain.shard_put(
-                np.moveaxis(np.stack(geom_list), -1, 1), dtype=dtype),
+            # tuple of per-factor lattices (see sem.stiffness_apply_lattice)
+            "geom": tuple(
+                domain.shard_put(np.stack([gl[..., k] for gl in geom_list]),
+                                 dtype=dtype)
+                for k in range(geom_list[0].shape[-1])),
             "mask": domain.shard_put(np.stack(mask_list), dtype=dtype),
             "weight": domain.shard_put(np.stack(wt_list), dtype=dtype),
             "D": jnp.asarray(diff_matrix(n_o), dtype=dtype),
@@ -500,8 +502,9 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
 
     def core_specs(ax):
         specs = {
-            "groups": [{"geom": P(ax), "mask": P(ax), "weight": P(ax),
-                        "D": P()} for _ in group_data],
+            "groups": [{"geom": tuple(P(ax) for _ in gd["geom"]),
+                        "mask": P(ax), "weight": P(ax),
+                        "D": P()} for gd in group_data],
             "adj": P(ax),
             "J": {k: P() for k in Jmats},
             "Jlvl": [P() for _ in Jlvl],
