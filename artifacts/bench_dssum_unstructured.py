@@ -199,9 +199,7 @@ def main():
         for s in (0, 1):
             f = a * 2 + s
             fp = face_slice(pts4, a, s).reshape(E, nn)
-            sel = matched[:, f][:, None] & (deg_pts.reshape(
-                E, npe)[np.arange(E)[:, None], fp % npe] == 2)
-            # careful: fp indexes global points; deg via node ids
+            # fp indexes global points; degree lookup goes via node ids
             sel = matched[:, f][:, None] & (deg[ids[fp]] == 2)
             handled[fp[sel]] = True
     rest = np.flatnonzero(~handled & (deg[ids] >= 2))

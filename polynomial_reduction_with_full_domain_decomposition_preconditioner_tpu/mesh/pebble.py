@@ -150,36 +150,55 @@ def pebble_mesh(elem_shape, poly_degree, num_pebbles: int = 8,
     if kept_ids.size == 0:
         raise ValueError("pebble carving removed every element")
 
-    def vtransform(x, y, z):
-        pts = [np.array(x, dtype=np.float64, copy=True),
-               np.array(y, dtype=np.float64, copy=True)]
-        if z is not None:
-            pts.append(np.array(z, dtype=np.float64, copy=True))
-        P = np.stack(pts, axis=-1)
-        for c in centers:
-            d = np.linalg.norm(P - c, axis=-1)
-            inside = d < r
-            if inside.any():
-                dd = np.maximum(d[inside], 1e-12)[..., None]
-                proj = c + (P[inside] - c) * (r / dd)
-                P[inside] = P[inside] + snap * (proj - P[inside])
-        out = [P[..., i] for i in range(dim)]
-        return out[0], out[1], (out[2] if dim == 3 else None)
+    def make_vtransform(s):
+        def vtransform(x, y, z):
+            pts = [np.array(x, dtype=np.float64, copy=True),
+                   np.array(y, dtype=np.float64, copy=True)]
+            if z is not None:
+                pts.append(np.array(z, dtype=np.float64, copy=True))
+            P = np.stack(pts, axis=-1)
+            for c in centers:
+                d = np.linalg.norm(P - c, axis=-1)
+                inside = d < r
+                if inside.any():
+                    dd = np.maximum(d[inside], 1e-12)[..., None]
+                    proj = c + (P[inside] - c) * (r / dd)
+                    P[inside] = P[inside] + s * (proj - P[inside])
+            out = [P[..., i] for i in range(dim)]
+            return out[0], out[1], (out[2] if dim == 3 else None)
+        return vtransform
 
-    # full-lattice structured numbering + coords, then subset
-    _, glo_full, _ = _reference_coords(elem_shape, poly_degree)
-    glo_sub = glo_full.reshape(-1, npe)[kept_ids]
+    # the snap strength is an ORDER-INVARIANT mesh decision (the
+    # composite's mesh_builder contract needs identical vertex frames at
+    # every order), so the inversion retry runs at a FIXED probe order
+    # — dense enough that a positive-Jacobian probe mesh is positive in
+    # practice at any production order
+    probe_order = 6
     for attempt in range(6):
-        coords_full = _trilinear_nodes(elem_shape, poly_degree, vtransform)
-        coords = coords_full[kept_ids]
-        geom, mass = geometric_factors(coords, dim, poly_degree)
-        if mass.min() > 0:
+        coords_p = _trilinear_nodes(elem_shape, probe_order,
+                                    make_vtransform(snap))[kept_ids]
+        _, mass_p = geometric_factors(coords_p, dim, probe_order)
+        if mass_p.min() > 0:
             break
         snap *= 0.5  # a cut element inverted: relax the projection
     else:
         raise ValueError("pebble vertex snap produces inverted elements "
                          "even at snap~0; coarsen the lattice or shrink "
                          "the pebbles")
+
+    # full-lattice structured numbering + coords, then subset
+    _, glo_full, _ = _reference_coords(elem_shape, poly_degree)
+    glo_sub = glo_full.reshape(-1, npe)[kept_ids]
+    coords = _trilinear_nodes(elem_shape, poly_degree,
+                              make_vtransform(snap))[kept_ids]
+    geom, mass = geometric_factors(coords, dim, poly_degree)
+    if mass.min() <= 0:
+        # never relax per-order (that would silently break cross-order
+        # frame consistency) — surface it instead
+        raise ValueError(
+            f"pebble mesh inverts at order {poly_degree} with the snap "
+            f"validated at probe order {probe_order}; pass a smaller "
+            "snap= explicitly")
 
     uniq, inv = np.unique(glo_sub.ravel(), return_inverse=True)
     glo_new = inv.reshape(-1, npe).astype(np.int64)

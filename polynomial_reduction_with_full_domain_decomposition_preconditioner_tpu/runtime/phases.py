@@ -113,8 +113,10 @@ def phase_report(dom, mesh_builder, cfg=None, iterations: int = 10,
                     "inner_precond", "tree_cascade", "tree_rhs")}
     ki = cfg.inner_iterations
     regions = {
-        # outer solve (domain.*, poisson.cpp:259-276)
-        "domain.operator_application": ct["op"] - ct["nrm"],
+        # outer solve (domain.*, poisson.cpp:259-276). The 'op' chain is
+        # nrm(dssum(operator(x))), so the dssum baseline — reported as
+        # its own stitching row — must be subtracted here too
+        "domain.operator_application": ct["op"] - ct["dssum"],
         "domain.inner_products+vector_operations (1 dot + 1 scale)":
             ct["nrm"],
         "subdomain.stitching (outer dssum)": ct["dssum"] - ct["nrm"],

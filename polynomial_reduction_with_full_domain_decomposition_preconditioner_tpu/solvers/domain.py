@@ -682,7 +682,11 @@ class Domain:
             return krylov.tree_dot(x, x).astype(jnp.float32)
 
         cache = self.__dict__.setdefault("_fn_cache", {})
+        # key on id() but PIN the precond in the value: a bare id can be
+        # reused after garbage collection and would serve a stale chain
         key = ("phase_chain", id(precond), kind, iters)
+        if key in cache and cache[key][0] is not precond:
+            del cache[key]
         if key not in cache:
             if self.spmd:
                 ax = self.axis_name
@@ -692,13 +696,13 @@ class Domain:
                              self._squeeze_extra(extra_x, specs), f[0])
                     return jax.lax.pmax(s, ax)
 
-                cache[key] = jax.jit(jax.shard_map(
+                cache[key] = (precond, jax.jit(jax.shard_map(
                     spmd_impl, mesh=self.device_mesh,
                     in_specs=(_specs(ax, self.arrays), specs, P(ax)),
-                    out_specs=P()))
+                    out_specs=P())))
             else:
-                cache[key] = jax.jit(impl)
-        jfn = cache[key]
+                cache[key] = (precond, jax.jit(impl))
+        jfn = cache[key][1]
         return lambda f: jfn(self.arrays, extra, f)
 
     def residual(self, u, f):

@@ -500,11 +500,10 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
                         gl, T, assume_unique=False))
                     tp_list.append(sel.astype(np.int64))
                     ti_list.append(tm[gl[sel]])
-                    # representative point per touched node
-                    first = np.full(cls_NT[c] + 1, 0, dtype=np.int32)
-                    seen = np.zeros(cls_NT[c] + 1, dtype=bool)
-                    for pt, ti in zip(sel[::-1], tm[gl[sel]][::-1]):
-                        first[ti] = pt       # reversed: keep the first
+                    # representative point per touched node: reversed
+                    # fancy assignment keeps the FIRST occurrence
+                    first = np.zeros(cls_NT[c] + 1, dtype=np.int32)
+                    first[tm[gl[sel]][::-1]] = sel[::-1]
                     trep[j] = first
                     NPT = max(NPT, sel.size)
                 tpts = np.full((Po, NPT), 2 ** 31 - 1, dtype=np.int64)
