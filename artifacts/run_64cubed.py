@@ -10,8 +10,11 @@
 - factor-major lattice geometry (no XLA layout copies — the first
   attempt OOM'd on 4.5 GB of geometry transposes).
 
-Usage:  python artifacts/run_64cubed.py [m] ;  writes
-artifacts/scaleup_{m}cubed.json
+Usage:  python artifacts/run_64cubed.py [m] [inner_iters] [method] [nv]
+        method: fcg (default) | fgmres | fgmres-z16 (bf16 Z basis,
+        solver z_dtype — halves the Z term of the Krylov memory)
+        nv: GMRES restart length (default 8 — sized so V+Z fit at 64^3)
+Writes artifacts/scaleup_{m}cubed.json
 """
 
 import json
@@ -25,6 +28,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     m = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     inner_iters = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    method = sys.argv[3] if len(sys.argv) > 3 else "fcg"
+    nv = int(sys.argv[4]) if len(sys.argv) > 4 else 8
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -62,7 +67,12 @@ def main():
     u_star_dev.delete()
     del u_star_dev
 
-    solve = dom.solver(method="fcg", precond=pre, max_iterations=100)
+    if method == "fcg":
+        solve = dom.solver(method="fcg", precond=pre, max_iterations=100)
+    else:
+        zdt = jnp.bfloat16 if method.endswith("z16") else None
+        solve = dom.solver(method="fgmres", precond=pre, max_iterations=100,
+                           num_vectors=nv, z_dtype=zdt)
     t0 = time.time()
     res = solve(f)
     its = int(res.iterations)        # forces execution
@@ -91,7 +101,8 @@ def main():
     rec = {
         "mesh": f"kershaw eps=0.3 {m}^3 N=7 r=6",
         "points": mesh.num_points,
-        "solver": f"fcg + composite(bf16, inner GMRES({inner_iters}))",
+        "solver": (f"{method}" + (f"({nv})" if method != "fcg" else "")
+                   + f" + composite(bf16, inner GMRES({inner_iters}))"),
         "iterations": its,
         "converged": conv,
         "residual_history": hist.tolist(),
@@ -101,7 +112,8 @@ def main():
         "setup_mesh_seconds": round(t_mesh, 1),
         "setup_preconditioner_seconds": round(t_pre, 1),
     }
-    with open(f"artifacts/scaleup_{m}cubed.json", "w") as fh:
+    tag = "" if method == "fcg" else f"_{method}{nv}i{inner_iters}"
+    with open(f"artifacts/scaleup_{m}cubed{tag}.json", "w") as fh:
         json.dump(rec, fh, indent=1)
     print("DONE", m, its, conv, t_solve)
     return 0 if conv else 1

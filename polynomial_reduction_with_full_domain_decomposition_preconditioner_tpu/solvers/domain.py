@@ -410,7 +410,7 @@ class Domain:
 
     def _solve_impl(self, arrays, extra, f, *, precond_builder, method,
                     max_iterations, num_vectors, tolerance, use_relative,
-                    overlap=True):
+                    overlap=True, z_dtype=None):
         operator, dssum, dot, dot2 = self._ops(arrays)
         dssum_plain = lambda r: dssum(r, apply_mask=True, apply_weight=False)
         if precond_builder is None:
@@ -432,12 +432,12 @@ class Domain:
                                  num_vectors=num_vectors,
                                  tolerance=tolerance,
                                  use_relative=use_relative,
-                                 op_dssum=fused)
+                                 op_dssum=fused, z_dtype=z_dtype)
         raise ValueError(f"unknown method {method!r}")
 
     def solver(self, method="fcg", precond=None, precond_builder=None,
                max_iterations=500, num_vectors=20, tolerance=None,
-               use_relative=True, overlap=True):
+               use_relative=True, overlap=True, z_dtype=None):
         """Build a jitted solve function f -> KrylovResult.
 
         precond: a Preconditioner (solvers/preconditioners.py) carrying its
@@ -448,6 +448,9 @@ class Domain:
         overlap: use the fused boundary-first operator+dssum in FGMRES so
           the slab exchange overlaps the interior compute (numerically
           identical; active for uniform structured SPMD partitions).
+        z_dtype: FGMRES-only — storage dtype for the flexible Z basis
+          (see krylov.fgmres); jnp.bfloat16 halves the dominant memory
+          term of large single-chip FGMRES runs.
         """
         if tolerance is None:
             tolerance = 1.0e-7 if self.dtype == jnp.float64 else 1.0e-4
@@ -464,7 +467,8 @@ class Domain:
         impl = partial(self._solve_impl, precond_builder=builder,
                        method=method, max_iterations=max_iterations,
                        num_vectors=num_vectors, tolerance=tolerance,
-                       use_relative=use_relative, overlap=overlap)
+                       use_relative=use_relative, overlap=overlap,
+                       z_dtype=z_dtype)
         if self.spmd:
             mesh = self.device_mesh
             ax = self.axis_name

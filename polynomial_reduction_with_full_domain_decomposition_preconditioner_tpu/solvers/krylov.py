@@ -178,7 +178,8 @@ def fcg(operator, precond, dssum_plain, dot, dot2, f, *,
 
 def fgmres(operator, precond, dssum_plain, dot, f, *,
            max_iterations: int, num_vectors: int = 20,
-           tolerance: float, use_relative: bool = True, op_dssum=None):
+           tolerance: float, use_relative: bool = True, op_dssum=None,
+           z_dtype=None):
     """Restarted flexible GMRES(m), mirroring domain.tpp:727-914.
 
     Basis vectors are stored stacked per pytree leaf (m+1, ...) so
@@ -188,6 +189,15 @@ def fgmres(operator, precond, dssum_plain, dot, f, *,
     op_dssum: optional fused z -> (A z, QQt A z) closure that overlaps the
     boundary exchange with the interior operator compute (Domain._ops);
     must be numerically identical to operator + dssum_plain.
+
+    z_dtype: storage dtype for the flexible Z basis (default: the field
+    dtype). With bf16 the preconditioner output is QUANTIZED to z_dtype
+    BEFORE the operator sees it, so the Arnoldi relation stays exactly
+    consistent with the stored basis — this is a slightly-rounded
+    preconditioner (which flexible GMRES tolerates by construction), not
+    a rounded solution update. Halves the dominant memory term of large
+    single-chip runs: at Kershaw 64^3 N=7 (134M points) the Z basis is
+    what forces the outer solver down to FCG without it.
     """
     m = num_vectors
     dtype = jax.tree.leaves(f)[0].dtype
@@ -236,7 +246,9 @@ def fgmres(operator, precond, dssum_plain, dot, f, *,
         zero_row = _zeros_like_tree(r)
         g0_safe = jnp.where(g0 > 0.0, g0, 1.0)  # exact-convergence breakdown
         V = _set_row(_stack_rows(zero_row, m + 1), 0, _scale(1.0 / g0_safe, r))
-        Z = _stack_rows(zero_row, m)
+        zero_row_z = (zero_row if z_dtype is None else
+                      _tmap(lambda zl: zl.astype(z_dtype), zero_row))
+        Z = _stack_rows(zero_row_z, m)
         H = jnp.zeros((m + 1, m), dtype=dtype) + seed
         gam = (jnp.zeros((m + 1,), dtype=dtype) + seed).at[0].set(g0)
         c = jnp.zeros((m,), dtype=dtype) + seed
@@ -248,12 +260,17 @@ def fgmres(operator, precond, dssum_plain, dot, f, *,
             def step(args):
                 V, Z, H, gam, c, s, it, hist = args
                 z = precond(_row(V, j))
+                if z_dtype is not None:
+                    # quantize BEFORE the operator: the stored basis and
+                    # the Arnoldi relation stay exactly consistent
+                    zq = _tmap(lambda zl: zl.astype(z_dtype), z)
+                    z = _tmap(lambda zl: zl.astype(dtype), zq)
                 if op_dssum is None:
                     q = operator(z)
                     qq = dssum_plain(q)
                 else:
                     q, qq = op_dssum(z)
-                Z_new = _set_row(Z, j, z)
+                Z_new = _set_row(Z, j, z if z_dtype is None else zq)
                 h = proj_dots(V, qq, j)
                 q = _sub(q, _contract_rows(h, V))
                 # recompute the projected norm on the orthogonalized q

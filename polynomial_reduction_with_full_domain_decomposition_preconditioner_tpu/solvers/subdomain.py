@@ -217,7 +217,8 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
                  max_coarse: int = 600,
                  far_coarsen="auto",
                  fine_mesh=None,
-                 chain_cache: str | None = None) -> Preconditioner:
+                 chain_cache: str | None = None,
+                 vertex_iters: int = 0) -> Preconditioner:
     """Build the composite DD+polynomial-reduction preconditioner.
 
     domain: the fine-level Domain (structured, slab-partitioned).
@@ -249,6 +250,23 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
       fem-amg oracle); pass 1 to disable.
     fine_mesh: the order-N GlobalMesh if already built (avoids
       regenerating it; must equal mesh_builder(N)).
+    vertex_iters: EXPERIMENTAL Krylov acceleration of the inner='amg'
+      coarse-grid correction — the vertex problem is solved by this many
+      fixed PCG iterations preconditioned by the chain V-cycle instead
+      of a single V-cycle (0, the default, keeps the single cycle). The
+      plain chain V-cycle's own error-propagation rate on Kershaw
+      eps=0.3 is 0.89-0.93 at every grid size (point-Chebyshev smoothing
+      is not robust to the mesh anisotropy) and PCG reaches a
+      1e-2-accurate vertex correction in 7-8 iterations
+      size-independently — but measured end-to-end on TPU (16^3/32^3
+      N=7) the more-exact correction did NOT reduce outer iterations
+      (12->14 and 16->20 at vertex_iters=8): the single under-relaxed
+      cycle evidently acts as damping for the trilinear
+      vertex->composite prolongation error, which is the real
+      coarse-grid accuracy limit. Kept as a study knob; default off.
+      The chain always runs in >=f32 even under a bf16 ptype (the
+      coarse correction must not round off — same role as the
+      reference's hypre-precision coarse solve, subdomain.tpp:4080-4088).
     """
     sd = domain.sharded
     if sd.structured is None:
@@ -539,7 +557,11 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
             if chain_cache is not None:
                 from ..runtime.checkpoint import save_chain_info
                 save_chain_info(chain_cache, chain_info)
-        chain = pack_chain(chain_info, dtype=dtype)
+        # the chain runs in >=f32 even when the composite runs bf16: it
+        # is the vertex grid (tiny), and the PCG-accelerated correction
+        # (vertex_iters) needs a non-rounded operator to converge
+        chain_dtype = jnp.float32 if dtype == jnp.bfloat16 else dtype
+        chain = pack_chain(chain_info, dtype=chain_dtype)
 
         # per-group trilinear vertex->lattice factors: dense per-axis
         # contraction matrices (gather-free transfers)
@@ -900,6 +922,8 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
             def A_mf(x):
                 return comp_dssum(comp_operator(x), apply_mask=True)
 
+            chain_dt = chain["masks"][0].dtype
+
             def restrict_to_vertex(parts):
                 acc = None
                 for gi in range(G):
@@ -908,10 +932,40 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
                     for d, F in enumerate(amg_x["P1p"][gi]):
                         V = axis_contract(F.T, V, d + 1)
                     acc = V if acc is None else acc + V
-                return acc.reshape(-1) * chain["masks"][0]
+                return (acc.reshape(-1).astype(chain_dt)
+                        * chain["masks"][0])
+
+            def vertex_solve(w):
+                """Coarse-grid correction on the vertex problem: fixed
+                PCG iterations preconditioned by the chain V-cycle
+                (vertex_iters=0: one V-cycle). Rank-local like the whole
+                composite solve (subdomain.tpp:4491-4557)."""
+                if vertex_iters <= 0:
+                    return chain_vcycle(chain, w, cheby_order=cheby_order)
+                from ..ops.stencil import stencil_apply
+                coefs0 = chain["levels"][0]["coefs"]
+                Av = lambda x: stencil_apply(coefs0, x, dim)
+                z0 = chain_vcycle(chain, w, cheby_order=cheby_order)
+
+                def body(_, carry):
+                    x, r, p, rz = carry
+                    Ap = Av(p)
+                    pAp = jnp.vdot(p, Ap)
+                    alpha = rz / jnp.where(pAp == 0, 1.0, pAp)
+                    x = x + alpha * p
+                    r = r - alpha * Ap
+                    z = chain_vcycle(chain, r, cheby_order=cheby_order)
+                    rz_new = jnp.vdot(r, z)
+                    beta = rz_new / jnp.where(rz == 0, 1.0, rz)
+                    return (x, r, z + beta * p, rz_new)
+
+                x, _, _, _ = jax.lax.fori_loop(
+                    0, vertex_iters, body,
+                    (jnp.zeros_like(w), w, z0, jnp.vdot(w, z0)))
+                return x
 
             def prolong_from_vertex(v):
-                V0 = v.reshape(vert_shape)
+                V0 = v.astype(dtype).reshape(vert_shape)
                 outs = []
                 for gi in range(G):
                     V = axis_contract(amg_x["P1z"][gi], V0, 0)
@@ -926,8 +980,7 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
                                  cheby_order)
                 for _ in range(num_vcycles):
                     r = jax.tree.map(jnp.subtract, fc, A_mf(x))
-                    v = chain_vcycle(chain, restrict_to_vertex(r),
-                                     cheby_order=cheby_order)
+                    v = vertex_solve(restrict_to_vertex(r))
                     x = jax.tree.map(jnp.add, x, prolong_from_vertex(v))
                     x = cheby_smooth(A_mf, comp_inv_diag, lmax0, fc, x,
                                      cheby_order)

@@ -176,3 +176,48 @@ def test_composite_dd_bf16_ptype():
         int(r16.iterations), int(r32.iterations))
     err = np.abs(np.asarray(r16.u) - np.asarray(u_star)).max()
     assert err < 1e-6
+
+
+def test_fgmres_bf16_z_basis():
+    # memory-lean FGMRES: the flexible Z basis stored in bfloat16
+    # (solver z_dtype) — the preconditioner output is quantized BEFORE
+    # the operator, so the Arnoldi relation stays exact w.r.t. the
+    # stored basis and full convergence survives (the lever that lets
+    # Kershaw 64^3 N=7 run a GMRES outer in 16 GB HBM)
+    shape, N = (2, 2, 16), 3
+    mesh, dom = build(8, shape, N)
+    u_star = dom.initial_function(4, seed=11)
+    f = dom.manufacture_rhs(u_star)
+    mk = partial(mg.kershaw_mesh, shape, epsilon=0.3)
+    pre = sub.composite_dd(dom, mk, poly_reduction=2, ptype=jnp.bfloat16)
+    rf = dom.solver(method="fgmres", max_iterations=200, tolerance=1e-8,
+                    precond=pre)(f)
+    rq = dom.solver(method="fgmres", max_iterations=200, tolerance=1e-8,
+                    precond=pre, z_dtype=jnp.bfloat16)(f)
+    assert bool(rq.converged)
+    assert int(rq.iterations) <= int(rf.iterations) + 5, (
+        int(rq.iterations), int(rf.iterations))
+    err = np.abs(np.asarray(rq.u) - np.asarray(u_star)).max()
+    assert err < 1e-6
+
+
+def test_vertex_iters_knob():
+    # the experimental PCG-accelerated vertex coarse correction must
+    # converge and stay within a few outer iterations of the default
+    # single-V-cycle correction (measured: it does not IMPROVE outer
+    # convergence — see the composite_dd docstring)
+    shape, N = (2, 2, 16), 3
+    mesh, dom = build(8, shape, N)
+    u_star = dom.initial_function(4, seed=17)
+    f = dom.manufacture_rhs(u_star)
+    mk = partial(mg.kershaw_mesh, shape, epsilon=0.3)
+    it = {}
+    for vi in [0, 2]:
+        pre = sub.composite_dd(dom, mk, poly_reduction=2, vertex_iters=vi)
+        res = dom.solver(method="fgmres", max_iterations=200,
+                         tolerance=1e-8, precond=pre)(f)
+        assert bool(res.converged), vi
+        it[vi] = int(res.iterations)
+        err = np.abs(np.asarray(res.u) - np.asarray(u_star)).max()
+        assert err < 1e-6, (vi, err)
+    assert it[2] <= it[0] + 5, it
