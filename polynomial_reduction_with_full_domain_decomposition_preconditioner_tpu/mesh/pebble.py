@@ -61,12 +61,30 @@ def pack_pebbles(elem_shape, num_pebbles: int, seed: int = 0,
     if hi <= lo:
         raise ValueError(f"pebble radius {r:.3f} too large for the unit "
                          f"box at lattice {elem_shape}")
-    centers = []
+    # grid-hash accept/reject: candidates only check the 3^dim neighbor
+    # cells of a uniform grid with cell >= the exclusion diameter, so
+    # packing PB_1568-class counts stays O(K) instead of the O(K^2)
+    # all-pairs scan (which took hours at ~1.5k pebbles)
+    dmin = 2.0 * r + 0.5 * h
+    ncell = max(1, int(1.0 / dmin))
+    cell_of: dict[tuple, list[int]] = {}
+    centers: list[np.ndarray] = []
     for _ in range(400 * num_pebbles):
         if len(centers) == num_pebbles:
             break
         c = rng.uniform(lo, hi, size=dim)
-        if all(np.linalg.norm(c - p) >= 2.0 * r + 0.5 * h for p in centers):
+        key = tuple((c * ncell).astype(np.int64))
+        ok = True
+        for off in np.ndindex(*(3,) * dim):
+            nb = tuple(k + o - 1 for k, o in zip(key, off))
+            for i in cell_of.get(nb, ()):
+                if np.linalg.norm(c - centers[i]) < dmin:
+                    ok = False
+                    break
+            if not ok:
+                break
+        if ok:
+            cell_of.setdefault(key, []).append(len(centers))
             centers.append(c)
     return np.asarray(centers, dtype=np.float64).reshape(-1, dim), r
 
@@ -142,13 +160,23 @@ def pebble_mesh(elem_shape, poly_degree, num_pebbles: int = 8,
     emulti = [rev[dim - 1 - d].reshape(-1) for d in range(dim)]  # x, y, z
     cpts = np.stack([(emulti[d] + 0.5) / elem_shape[d]
                      for d in range(dim)], axis=-1)
-    keep = np.ones(cpts.shape[0], dtype=bool)
-    for c in centers:
-        keep &= np.linalg.norm(cpts - c, axis=1) > r
+    if len(centers):
+        from scipy.spatial import cKDTree
+        dmin_c, _ = cKDTree(centers).query(cpts, workers=-1)
+        keep = dmin_c > r
+    else:
+        keep = np.ones(cpts.shape[0], dtype=bool)
     keep = _largest_component(keep, elem_shape)
     kept_ids = np.flatnonzero(keep)
     if kept_ids.size == 0:
         raise ValueError("pebble carving removed every element")
+
+    # pebbles are disjoint (packing enforces a gap), so a point inside a
+    # pebble is inside its NEAREST center's pebble — one KD-tree query
+    # replaces the per-center sweep (O(K * points) -> O(points log K),
+    # the scaling that makes PB_1568-class counts practical)
+    from scipy.spatial import cKDTree
+    ctree = cKDTree(centers) if len(centers) else None
 
     def make_vtransform(s):
         def vtransform(x, y, z):
@@ -157,13 +185,16 @@ def pebble_mesh(elem_shape, poly_degree, num_pebbles: int = 8,
             if z is not None:
                 pts.append(np.array(z, dtype=np.float64, copy=True))
             P = np.stack(pts, axis=-1)
-            for c in centers:
-                d = np.linalg.norm(P - c, axis=-1)
-                inside = d < r
-                if inside.any():
-                    dd = np.maximum(d[inside], 1e-12)[..., None]
-                    proj = c + (P[inside] - c) * (r / dd)
-                    P[inside] = P[inside] + s * (proj - P[inside])
+            if ctree is not None:
+                flat = P.reshape(-1, dim)
+                d, which = ctree.query(flat, workers=-1)
+                inside = np.flatnonzero(d < r)
+                if inside.size:
+                    c = centers[which[inside]]
+                    dd = np.maximum(d[inside], 1e-12)[:, None]
+                    proj = c + (flat[inside] - c) * (r / dd)
+                    flat[inside] += s * (proj - flat[inside])
+                P = flat.reshape(P.shape)
             out = [P[..., i] for i in range(dim)]
             return out[0], out[1], (out[2] if dim == 3 else None)
         return vtransform

@@ -46,6 +46,10 @@ class Config:
     # ---- outer solver (domain.hpp:114-118) ----
     solver: str = "fgmres"             # fgmres | fcg  (ref solver_id)
     num_vectors: int = 20              # GMRES restart length
+    ztype: str | None = None           # FGMRES Z-basis storage dtype
+    #   ("bfloat16" halves the flexible-basis memory — the lever that
+    #   fits a GMRES outer at Kershaw 64^3 N=7 in 16 GB HBM; None =
+    #   store Z in stype)
     max_iterations: int = 500
     tolerance: float | None = None     # None -> 1e-7 f64 / 1e-4 f32
     refine_tolerance: float | None = None  # f64 iterative-refinement
@@ -136,6 +140,10 @@ class Config:
         p.add_argument("--solver", default=d.solver,
                        choices=["fgmres", "fcg"])
         p.add_argument("--num-vectors", type=int, default=d.num_vectors)
+        p.add_argument("--ztype", default=d.ztype,
+                       choices=["bfloat16", "float32"],
+                       help="FGMRES Z-basis storage dtype (bfloat16 "
+                            "halves the flexible-basis memory)")
         p.add_argument("--max-iterations", type=int, default=d.max_iterations)
         p.add_argument("--tolerance", type=float, default=None)
         p.add_argument("--refine-tolerance", type=float, default=None,
@@ -171,7 +179,7 @@ class Config:
             poly_reduction=a.poly_reduction,
             subdomain_overlap=a.subdomain_overlap,
             superdomain_overlap=a.superdomain_overlap,
-            stype=a.stype, ptype=a.ptype, solver=a.solver,
+            stype=a.stype, ptype=a.ptype, solver=a.solver, ztype=a.ztype,
             num_vectors=a.num_vectors, max_iterations=a.max_iterations,
             tolerance=a.tolerance, refine_tolerance=a.refine_tolerance,
             preconditioner=a.preconditioner,

@@ -120,10 +120,14 @@ def run_simulation(cfg: Config, out=sys.stdout) -> dict:
                                       seed=cfg.seed)
         f = dom.manufacture_rhs(u_star)
 
+    ztype = None
+    if cfg.ztype is not None:
+        import jax.numpy as jnp
+        ztype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[cfg.ztype]
     solve = dom.solver(method=cfg.solver, precond=pre,
                        max_iterations=cfg.max_iterations,
                        num_vectors=cfg.num_vectors,
-                       tolerance=cfg.tolerance)
+                       tolerance=cfg.tolerance, z_dtype=ztype)
     # timing discipline: block_until_ready can return before execution
     # completes on tunneled devices — force completion with a host fetch
     # of a solve output instead (BASELINE.md measurement methodology)
