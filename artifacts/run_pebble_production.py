@@ -1,0 +1,57 @@
+"""Pebble-bed production runs at the reference's family sizes.
+
+The reference's benchmark program is half pebble-bed meshes: PB_146 and
+PB_1568 (run.py:51-79, 146- and 1568-pebble beds at N=7). This runs the
+voxel-carved pebble generator at those pebble counts on one chip:
+
+  PB_146  -> 32^3 element lattice, solid_fraction 0.2  (~4.4 elements
+             per pebble diameter, ~13M points after carving)
+  PB_1568 -> 48^3 element lattice, solid_fraction 0.15 (~2.7 elements
+             per pebble diameter, ~48M points after carving)
+
+Usage: python artifacts/run_pebble_production.py [146|1568]
+Writes artifacts/pebble_production_pb{K}.json
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+FAMILIES = {
+    146:  dict(shape=(32, 32, 32), solid_fraction=0.2,  mesh_seed=5),
+    1568: dict(shape=(48, 48, 48), solid_fraction=0.15, mesh_seed=5),
+}
+
+
+def main():
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 146
+    fam = FAMILIES[k]
+    from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.runtime.config import Config
+    from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.runtime.driver import run_simulation
+
+    cfg = Config(
+        poly_degree=7, poly_reduction=6,
+        subdomain_overlap=1, superdomain_overlap=1,
+        mesh="pebble", shape=fam["shape"], num_pebbles=k,
+        solid_fraction=fam["solid_fraction"], mesh_seed=fam["mesh_seed"],
+        solver="fgmres", stype="float32", ptype="bfloat16",
+        inner="amg", inner_iterations=4, max_iterations=200,
+        checkpoint="/root/repo/.ckpt_cache",
+    )
+    t0 = time.time()
+    rec = run_simulation(cfg, out=sys.stderr)
+    rec["wall_seconds"] = time.time() - t0
+    rec["family"] = f"PB_{k}"
+    path = f"artifacts/pebble_production_pb{k}.json"
+    with open(path, "w") as fh:
+        json.dump(rec, fh, indent=1)
+    print("DONE", k, rec["iterations"], rec["converged"],
+          round(rec["solve_seconds"], 3))
+    return 0 if rec["converged"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
