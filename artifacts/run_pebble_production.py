@@ -38,6 +38,10 @@ def main():
         mesh="pebble", shape=fam["shape"], num_pebbles=k,
         solid_fraction=fam["solid_fraction"], mesh_seed=fam["mesh_seed"],
         solver="fgmres", stype="float32", ptype="bfloat16",
+        # short restart + bf16 Z basis: nv=20 f32 V+Z alone is ~9.3 GB
+        # at PB_1568's 56.6M points (OOM by 1.7 GB); pebble beds
+        # converge in ~5 outer iterations, so nv=8 costs nothing
+        num_vectors=8, ztype="bfloat16",
         inner="amg", inner_iterations=4, max_iterations=200,
         checkpoint="/root/repo/.ckpt_cache",
     )

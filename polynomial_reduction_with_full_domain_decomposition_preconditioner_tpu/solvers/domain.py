@@ -154,6 +154,7 @@ class Domain:
         # maxima and this process only has its own shards' glo_num.
         self._fb_n = n
         self._fb_nr = 0
+        self._fb_ng = 0
         fb_stacked = None
         if (sharded.structured is None and sharded.dim == 3
                 and sharded.num_points_per_elem == n ** 3
@@ -182,6 +183,7 @@ class Domain:
                 metas.append(meta)
             if plans:
                 self._fb_nr = max(m["num_rest_nodes"] for m in metas)
+                self._fb_ng = max(m["num_edge_groups"] for m in metas)
                 shapes = {key: max(p[key].shape[0] for p in plans)
                           for key in ("rest", "rest_ids", "rb_local",
                                       "rb_global")}
@@ -190,7 +192,7 @@ class Domain:
                 fb_stacked = {
                     key: np.stack([p[key] for p in plans])
                     for key in plans[0]}
-                for key in ("cls_masks", "rowmask"):
+                for key in ("cls_masks", "rowmask", "emask"):
                     fb_stacked[key] = fb_stacked[key].astype(dtype)
 
         if sharded.structured is not None:
@@ -328,7 +330,8 @@ class Domain:
                         inv_degree_pts=arrays.inv_degree_pts,
                         axis_name=axis,
                         num_boundary_global=st.num_boundary_global,
-                        apply_mask=apply_mask, apply_weight=apply_weight)
+                        apply_mask=apply_mask, apply_weight=apply_weight,
+                        num_edge_groups=self._fb_ng)
             else:
                 def dssum(u, apply_mask=True, apply_weight=False):
                     return gs.dssum(

@@ -397,9 +397,10 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
         ok = True
         cls_plans = []          # [c][p] -> plan arrays
         cls_NR = []
+        cls_NG = []
         for c in range(C):
             n_c = orders[c] + 1
-            plans_c, NRs = [], []
+            plans_c, NRs, NGs = [], [], []
             for p in range(Pn):
                 s = cls_setups[c][p]
                 gl = s["gids"].reshape(s["E"], s["npe"]).astype(np.int64)
@@ -417,10 +418,12 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
                 # self-contained; slave algebra uses its own compact set.
                 plans_c.append(plan)
                 NRs.append(meta["num_rest_nodes"])
+                NGs.append(meta["num_edge_groups"])
             if not ok:
                 break
             cls_plans.append(plans_c)
             cls_NR.append(max(NRs) if NRs else 0)
+            cls_NG.append(max(NGs) if NGs else 0)
         if ok:
             # touched-node sets per class: slave cols from below, slave
             # ids to above, superdomain interface on the coarsest class
@@ -477,7 +480,7 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
                         cls_NT[C - 1])
 
             fb_meta = {"n": [orders[c] + 1 for c in range(C)],
-                       "NR": cls_NR, "NT": cls_NT}
+                       "NR": cls_NR, "NT": cls_NT, "NG": cls_NG}
             for c in range(C):
                 shapes = {key: max(pl[key].shape[0]
                                    for pl in cls_plans[c])
@@ -487,7 +490,7 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
                                          shapes) for p in owned]
                 fbp = {key: np.stack([pl[key] for pl in padded])
                        for key in padded[0]}
-                for key in ("cls_masks", "rowmask"):
+                for key in ("cls_masks", "rowmask", "emask"):
                     fbp[key] = fbp[key].astype(np.float64)
                 trep = np.zeros((Po, cls_NT[c] + 1), dtype=np.int32)
                 NPT = 0
@@ -734,7 +737,8 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
                                          parts[c].dtype))
                     continue
                 y = fd.face_assemble(parts[c], cx["fbp"],
-                                     fb_meta["n"][c], fb_meta["NR"][c])
+                                     fb_meta["n"][c], fb_meta["NR"][c],
+                                     num_edge_groups=fb_meta["NG"][c])
                 ys.append(y)
                 # compact touched-node values (trash slot NT reads
                 # point 0 — every use of it is masked or dropped)
