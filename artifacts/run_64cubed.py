@@ -10,7 +10,7 @@
 - factor-major lattice geometry (no XLA layout copies — the first
   attempt OOM'd on 4.5 GB of geometry transposes).
 
-Usage:  python artifacts/run_64cubed.py [m] [inner_iters] [method] [nv]
+Usage:  python artifacts/run_64cubed.py [m] [inner_iters] [method] [nv] [epsilon]
         method: fcg (default) | fgmres | fgmres-z16 (bf16 Z basis,
         solver z_dtype — halves the Z term of the Krylov memory)
         nv: GMRES restart length (default 8 — sized so V+Z fit at 64^3)
@@ -30,6 +30,7 @@ def main():
     inner_iters = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     method = sys.argv[3] if len(sys.argv) > 3 else "fcg"
     nv = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+    eps = float(sys.argv[5]) if len(sys.argv) > 5 else 0.3
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -43,8 +44,8 @@ def main():
     ckpt = "/root/repo/.ckpt_cache"
     shape = (m, m, m)
     builder = cached_mesh_builder(
-        partial(mg.kershaw_mesh, shape, epsilon=0.3), ckpt,
-        f"kershaw_{m}x{m}x{m}_e0.3_sNone")
+        partial(mg.kershaw_mesh, shape, epsilon=eps), ckpt,
+        f"kershaw_{m}x{m}x{m}_e{eps}_sNone")
     t0 = time.time()
     mesh = builder(7)
     sd = partition_mesh(mesh, 1)
@@ -57,7 +58,9 @@ def main():
     pre = sub.composite_dd(
         dom, builder, poly_reduction=6, inner="amg", ptype=jnp.bfloat16,
         num_iterations=inner_iters, fine_mesh=mesh,
-        chain_cache=os.path.join(ckpt, f"chain_kershaw_{m}cubed.npz"))
+        chain_cache=os.path.join(
+            ckpt, f"chain_kershaw_{m}cubed.npz" if eps == 0.3
+            else f"chain_kershaw_{m}cubed_e{eps}.npz"))
     t_pre = time.time() - t0
     print(f"preconditioner setup {t_pre:.1f}s", file=sys.stderr)
 
@@ -99,7 +102,7 @@ def main():
           file=sys.stderr)
 
     rec = {
-        "mesh": f"kershaw eps=0.3 {m}^3 N=7 r=6",
+        "mesh": f"kershaw eps={eps} {m}^3 N=7 r=6",
         "points": mesh.num_points,
         "solver": (f"{method}" + (f"({nv})" if method != "fcg" else "")
                    + f" + composite(bf16, inner GMRES({inner_iters}))"),
@@ -113,6 +116,8 @@ def main():
         "setup_preconditioner_seconds": round(t_pre, 1),
     }
     tag = "" if method == "fcg" else f"_{method}{nv}i{inner_iters}"
+    if eps != 0.3:
+        tag += f"_e{eps}"
     with open(f"artifacts/scaleup_{m}cubed{tag}.json", "w") as fh:
         json.dump(rec, fh, indent=1)
     print("DONE", m, its, conv, t_solve)
