@@ -726,7 +726,7 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
             # with the slave/superdomain constraint algebra run on a
             # COMPACT vector of just the touched nodes — the full-size
             # class scatters/gathers of the fallback path are the
-            # composite solve's dominant TPU cost (30 ms -> 9 ms/pass)
+            # composite solve's dominant TPU cost (30 -> 2.15 ms/pass)
             from ..ops import face_dssum as fd
             ys, wTs = [], []
             for c in range(C):
