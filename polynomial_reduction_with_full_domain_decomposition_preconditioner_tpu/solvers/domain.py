@@ -184,15 +184,13 @@ class Domain:
             if plans:
                 self._fb_nr = max(m["num_rest_nodes"] for m in metas)
                 self._fb_ng = max(m["num_edge_groups"] for m in metas)
-                shapes = {key: max(p[key].shape[0] for p in plans)
-                          for key in ("rest", "rest_ids", "rb_local",
-                                      "rb_global")}
+                shapes = fd.max_shapes(plans)
                 plans = [fd.plan_pad_to(p, self._fb_nr, shapes)
                          for p in plans]
                 fb_stacked = {
                     key: np.stack([p[key] for p in plans])
                     for key in plans[0]}
-                for key in ("cls_masks", "rowmask", "emask"):
+                for key in ("rowmask", "emask", "eM"):
                     fb_stacked[key] = fb_stacked[key].astype(dtype)
 
         if sharded.structured is not None:

@@ -482,15 +482,12 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
             fb_meta = {"n": [orders[c] + 1 for c in range(C)],
                        "NR": cls_NR, "NT": cls_NT, "NG": cls_NG}
             for c in range(C):
-                shapes = {key: max(pl[key].shape[0]
-                                   for pl in cls_plans[c])
-                          for key in ("rest", "rest_ids", "rb_local",
-                                      "rb_global")}
+                shapes = fd.max_shapes(cls_plans[c])
                 padded = [fd.plan_pad_to(cls_plans[c][p], cls_NR[c],
                                          shapes) for p in owned]
                 fbp = {key: np.stack([pl[key] for pl in padded])
                        for key in padded[0]}
-                for key in ("cls_masks", "rowmask", "emask"):
+                for key in ("rowmask", "emask", "eM"):
                     fbp[key] = fbp[key].astype(np.float64)
                 trep = np.zeros((Po, cls_NT[c] + 1), dtype=np.int32)
                 NPT = 0
