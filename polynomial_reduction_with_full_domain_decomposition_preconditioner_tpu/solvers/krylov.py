@@ -108,6 +108,46 @@ def _contract_rows(h, V):
                                           precision=_HI), V)
 
 
+_CHUNK = 4   # basis-prefix granularity for the masked-growth contractions
+
+
+def _prefix_dot(dot, V, qq, j, L):
+    """<qq, V[i]> for the first j+1 rows of an L-row stacked basis,
+    reading only ceil((j+1)/4)*4 rows (lax.switch picks ONE static
+    prefix branch — early Arnoldi steps stop paying for the full
+    (m+1, N) contraction). Returns (L,) with rows > j zeroed."""
+    nb = -(-L // _CHUNK)
+
+    def mk(k):
+        rows = min((k + 1) * _CHUNK, L)
+
+        def f(_):
+            h = dot(_tmap(lambda Vl: Vl[:rows], V), qq)
+            return jnp.concatenate(
+                [h, jnp.zeros((L - rows,), h.dtype)])
+        return f
+
+    k = jnp.clip(j // _CHUNK, 0, nb - 1)
+    return jax.lax.switch(k, [mk(i) for i in range(nb)], None)
+
+
+def _prefix_contract(h, V, j, L):
+    """sum_{i<=j} h[i] * V[i], reading only the needed basis prefix
+    (h must be zero beyond row j)."""
+    nb = -(-L // _CHUNK)
+
+    def mk(k):
+        rows = min((k + 1) * _CHUNK, L)
+
+        def f(_):
+            return _contract_rows(h[:rows],
+                                  _tmap(lambda Vl: Vl[:rows], V))
+        return f
+
+    k = jnp.clip(j // _CHUNK, 0, nb - 1)
+    return jax.lax.switch(k, [mk(i) for i in range(nb)], None)
+
+
 @jax.tree_util.register_dataclass
 @dataclass
 class KrylovResult:
@@ -217,14 +257,21 @@ def fgmres(operator, precond, dssum_plain, dot, f, *,
     hist0 = jnp.full((max_iterations + 1,), jnp.nan, dtype=dtype) + seed
     hist0 = hist0.at[0].set(r0_norm)
 
+    # masked-growth contractions: with a longer restart length most
+    # Arnoldi steps use a short basis prefix — reading all m+1 rows
+    # every step is O(m N) wasted HBM traffic. Chunked lax.switch
+    # prefixes fix that; at tiny m the switch overhead isn't worth it.
+    grow = m >= 8
+
     def proj_dots(V, qq, j):
         """H[i] = <q, QQt V[i]>_masked for i <= j, one stacked contraction
-        + one psum.
+        + one psum (over the smallest 4-row-aligned basis prefix).
 
         qq is the dssum'ed new vector; by mask/QQt symmetry this equals the
         reference's assembled_inner_product(q, V[i]) (domain.tpp:934-947).
         """
-        h = dot(V, qq)  # stacked first arg: (m+1,)
+        h = (_prefix_dot(dot, V, qq, j, m + 1) if grow
+             else dot(V, qq))  # stacked first arg: (m+1,)
         iota = jnp.arange(m + 1)
         return jnp.where(iota <= j, h, 0.0).astype(dtype)
 
@@ -272,7 +319,8 @@ def fgmres(operator, precond, dssum_plain, dot, f, *,
                     q, qq = op_dssum(z)
                 Z_new = _set_row(Z, j, z if z_dtype is None else zq)
                 h = proj_dots(V, qq, j)
-                q = _sub(q, _contract_rows(h, V))
+                q = _sub(q, _prefix_contract(h, V, j, m + 1) if grow
+                         else _contract_rows(h, V))
                 # recompute the projected norm on the orthogonalized q
                 # (clamped: roundoff-negative once q hits machine zero).
                 # NOTE: the Gram-Schmidt identity |q'|^2 = |q|^2 - |h|^2
@@ -339,7 +387,8 @@ def fgmres(operator, precond, dssum_plain, dot, f, *,
             return jax.lax.cond(kk <= jlast, active_fn, lambda y: y, y)
 
         y = jax.lax.fori_loop(0, m, back, jnp.zeros((m,), dtype=dtype) + seed)
-        u = _add(u, _contract_rows(y, Z))
+        u = _add(u, _prefix_contract(y, Z, jlast, m) if grow
+                 else _contract_rows(y, Z))
 
         # 'jdone' covers tolerance/NaN/basis-full; only tolerance/NaN end
         # the outer loop (basis-full just restarts)
