@@ -229,3 +229,28 @@ def test_superdomain_compression_matches_uncompressed():
         iters[fc] = int(res.iterations)
     # measured 13 vs 13; allow small headroom
     assert iters[True] <= iters[False] + 3, iters
+
+
+def test_unstructured_bf16_ptype():
+    # bfloat16 inner precision on the unstructured composite: the outer
+    # stays f32 and flexible GMRES tolerates the rounded preconditioner
+    # (measured on TPU at production size: converges with +2 iterations
+    # vs f32 inner — a supported configuration, not the default; see
+    # BASELINE.md bf16-inner note)
+    def mk(o):
+        return mg.scramble_mesh(mg.kershaw_mesh((4, 4, 4), o, epsilon=0.3),
+                                seed=11)
+
+    mesh = mk(3)
+    dom = Domain(partition_mesh(mesh, 1), dtype=jnp.float32)
+    u_star = dom.initial_function(4, seed=3)
+    f = dom.manufacture_rhs(u_star)
+    pre = sub.composite_dd(dom, mk, poly_reduction=2, inner="amg",
+                           ptype=jnp.bfloat16, fine_mesh=mesh)
+    res = dom.solver(method="fgmres", max_iterations=60,
+                     tolerance=1e-6, precond=pre)(f)
+    assert bool(res.converged)
+    assert int(res.iterations) <= 14, int(res.iterations)
+    err = np.abs(dom.from_device_field(res.u)
+                 - dom.from_device_field(u_star)).max()
+    assert err < 1e-3
