@@ -10,10 +10,12 @@
 - factor-major lattice geometry (no XLA layout copies — the first
   attempt OOM'd on 4.5 GB of geometry transposes).
 
-Usage:  python artifacts/run_64cubed.py [m] [inner_iters] [method] [nv] [epsilon]
+Usage:  python artifacts/run_64cubed.py [m] [inner_iters] [method] [nv]
+            [epsilon] [cheby_order] [num_vcycles]
         method: fcg (default) | fgmres | fgmres-z16 (bf16 Z basis,
         solver z_dtype — halves the Z term of the Krylov memory)
         nv: GMRES restart length (default 8 — sized so V+Z fit at 64^3)
+        cheby_order / num_vcycles: inner smoother strength (default 2/1)
 Writes artifacts/scaleup_{m}cubed.json
 """
 
@@ -31,6 +33,8 @@ def main():
     method = sys.argv[3] if len(sys.argv) > 3 else "fcg"
     nv = int(sys.argv[4]) if len(sys.argv) > 4 else 8
     eps = float(sys.argv[5]) if len(sys.argv) > 5 else 0.3
+    cheby = int(sys.argv[6]) if len(sys.argv) > 6 else 2
+    nvc = int(sys.argv[7]) if len(sys.argv) > 7 else 1
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -58,6 +62,7 @@ def main():
     pre = sub.composite_dd(
         dom, builder, poly_reduction=6, inner="amg", ptype=jnp.bfloat16,
         num_iterations=inner_iters, fine_mesh=mesh,
+        cheby_order=cheby, num_vcycles=nvc,
         chain_cache=os.path.join(
             ckpt, f"chain_kershaw_{m}cubed.npz" if eps == 0.3
             else f"chain_kershaw_{m}cubed_e{eps}.npz"))
@@ -105,7 +110,8 @@ def main():
         "mesh": f"kershaw eps={eps} {m}^3 N=7 r=6",
         "points": mesh.num_points,
         "solver": (f"{method}" + (f"({nv})" if method != "fcg" else "")
-                   + f" + composite(bf16, inner GMRES({inner_iters}))"),
+                   + f" + composite(bf16, inner GMRES({inner_iters}), "
+                   f"cheby {cheby}, {nvc} vcycle)"),
         "iterations": its,
         "converged": conv,
         "residual_history": hist.tolist(),
@@ -118,6 +124,8 @@ def main():
     tag = "" if method == "fcg" else f"_{method}{nv}i{inner_iters}"
     if eps != 0.3:
         tag += f"_e{eps}"
+    if (cheby, nvc) != (2, 1):
+        tag += f"_c{cheby}v{nvc}"
     with open(f"artifacts/scaleup_{m}cubed{tag}.json", "w") as fh:
         json.dump(rec, fh, indent=1)
     print("DONE", m, its, conv, t_solve)

@@ -131,6 +131,24 @@ def _face_corner_verts(verts_row: np.ndarray, face: int, dim: int):
     return out
 
 
+def _face_corner_table(dim: int) -> np.ndarray:
+    """(2*dim, 2^(dim-1)) corner-slot indices of each face into an
+    element's (2^dim,) corner row, in _face_corner_verts ravel order."""
+    tab = []
+    for face in range(2 * dim):
+        axis, side = divmod(face, 2)
+        rows = []
+        for loc in np.ndindex(*(2,) * (dim - 1)):
+            bits = [0] * dim
+            bits[axis] = side
+            for k, d in enumerate(_face_axes(axis, dim)):
+                bits[d] = loc[k]
+            rows.append(sum(bits[d] << (dim - 1 - d)
+                            for d in range(dim)))
+        tab.append(rows)
+    return np.asarray(tab, dtype=np.int64)
+
+
 def face_pairs(verts: np.ndarray, elems_a: np.ndarray, elems_b: np.ndarray,
                dim: int):
     """Shared faces between element sets a and b (conforming whole-face
@@ -139,23 +157,42 @@ def face_pairs(verts: np.ndarray, elems_a: np.ndarray, elems_b: np.ndarray,
     Returns a list of (ea, fa, eb, fb) with ea in elems_a, eb in elems_b
     and fa/fb face ids. The reference's matching_face role
     (subdomain.tpp:1300-1494); orientation is resolved later from the
-    corner arrays.
+    corner arrays. Vectorized: sorted-corner keys for every (element,
+    face) at once, matched with one lexsort (a per-face python dict
+    cost ~5 s per class pair at pebble-bed sizes).
     """
-    def face_keys(elems):
-        keys = {}
-        for e in elems:
-            for f in range(2 * dim):
-                corners = _face_corner_verts(verts[e], f, dim)
-                keys[tuple(sorted(corners.ravel()))] = (e, f)
-        return keys
+    tab = _face_corner_table(dim)
+    nf, nc = tab.shape
 
-    ka = face_keys(elems_a)
-    kb = face_keys(elems_b)
+    def face_keys(elems):
+        elems = np.asarray(elems)
+        keys = np.sort(verts[elems][:, tab], axis=2).reshape(-1, nc)
+        eidx = np.repeat(elems, nf)
+        fidx = np.tile(np.arange(nf), elems.size)
+        # dedup within the set, keeping the LAST occurrence in
+        # iteration order (the dict semantics this replaces)
+        order = np.lexsort(keys.T[::-1])
+        ks = keys[order]
+        new = np.empty(ks.shape[0], dtype=bool)
+        new[0] = True
+        new[1:] = (ks[1:] != ks[:-1]).any(axis=1)
+        starts = np.flatnonzero(new)
+        last = np.maximum.reduceat(order, starts)
+        return keys[last], eidx[last], fidx[last]
+
+    if np.asarray(elems_a).size == 0 or np.asarray(elems_b).size == 0:
+        return []
+    ka, ea, fa = face_keys(elems_a)
+    kb, eb, fb = face_keys(elems_b)
+    allk = np.concatenate([ka, kb])
+    o = np.lexsort(allk.T[::-1])
+    ks = allk[o]
+    eq = np.flatnonzero((ks[1:] == ks[:-1]).all(axis=1))
     out = []
-    for key, (ea, fa) in ka.items():
-        hit = kb.get(key)
-        if hit is not None:
-            out.append((ea, fa, hit[0], hit[1]))
+    for i in eq:
+        ia, ib = sorted((o[i], o[i + 1]))     # per-set unique: one each
+        out.append((int(ea[ia]), int(fa[ia]),
+                    int(eb[ib - ka.shape[0]]), int(fb[ib - ka.shape[0]])))
     return out
 
 

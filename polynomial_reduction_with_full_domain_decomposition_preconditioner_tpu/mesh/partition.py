@@ -172,27 +172,73 @@ def partition_mesh(mesh: GlobalMesh, num_shards: int,
     # likewise derives boundary nodes from global node degrees,
     # domain.tpp:253-267).
     N_glob = mesh.num_nodes
+    # node ids are dense 0..N_glob-1, so shard node sets are presence
+    # bitmasks — O(N) scatter instead of an O(N log N) sorted unique
+    # (three sorted uniques over 13M ids cost ~34 s at PB_146 scale)
     touched = np.zeros((N_glob,), dtype=np.int64)
     nn_sizes, b_sizes = [], []
+
+    def _present(p):
+        m = np.zeros((N_glob,), dtype=bool)
+        m[mesh.glo_num[bounds[p]:bounds[p + 1]].ravel()] = True
+        return m
+
     for p in range(P):
-        sel = mesh.glo_num[bounds[p]:bounds[p + 1]].ravel()
-        uniq = np.unique(sel)
-        touched[uniq] += 1
-        nn_sizes.append(uniq.size)
-    interface = np.flatnonzero(touched > 1)
+        pres = _present(p)
+        touched += pres
+        nn_sizes.append(int(pres.sum()))
+    interface_mask = touched > 1
+    interface = np.flatnonzero(interface_mask)
     BG = interface.size
     iface_index = np.full((N_glob,), -1, dtype=np.int64)
     iface_index[interface] = np.arange(BG)
     # max interface nodes per shard (global max for static shapes)
     for p in range(P):
-        sel = mesh.glo_num[bounds[p]:bounds[p + 1]].ravel()
-        b_sizes.append(int((iface_index[np.unique(sel)] >= 0).sum()))
+        b_sizes.append(int(np.count_nonzero(_present(p) & interface_mask)))
 
     degree_global = np.bincount(mesh.glo_num.ravel(), minlength=N_glob)
     NN = max(nn_sizes)
     B = max(max(b_sizes, default=0), 1)
 
     Pl = len(owned)
+    if Pl == 1 and owned == (0,) and P == 1:
+        # single-shard fast path: the shard IS the mesh — hand out
+        # views instead of allocating + copying ~2.5 GB of padded
+        # per-shard arrays (nothing downstream mutates these; Domain
+        # astypes them into its own buffers). uniq == arange(N) here,
+        # so gather ids are the global ids themselves.
+        node_valid = np.zeros((1, NN + 1))
+        node_valid[0, :NN] = 1.0
+        inv_degree = np.zeros((1, NN + 1))
+        inv_degree[0, :NN] = 1.0 / degree_global
+        return ShardedDomain(
+            dim=mesh.dim,
+            poly_degree=mesh.poly_degree,
+            num_shards=1,
+            num_total_elements=E_tot,
+            num_global_nodes=N_glob,
+            geom=mesh.geom[None],
+            mass=mesh.mass[None],
+            coords=mesh.coords[None],
+            dirichlet_mask=np.ascontiguousarray(
+                mesh.dirichlet_mask).reshape(1, E * npe),
+            glo_num=mesh.glo_num.astype(np.int64, copy=False)[None],
+            elem_valid=np.ones((1, E), dtype=bool),
+            inv_degree_pts=(1.0 / np.ascontiguousarray(
+                mesh.node_degree).reshape(1, E * npe)),
+            gather_ids=np.ascontiguousarray(mesh.glo_num).reshape(
+                1, E * npe).astype(np.int32),
+            num_local_nodes=NN,
+            node_valid=node_valid,
+            inv_degree=inv_degree,
+            bnode_local=np.full((1, B), NN, dtype=np.int32),
+            bnode_global=np.full((1, B), BG, dtype=np.int32),
+            num_boundary_global=BG,
+            structured=sinfo,
+            owned=(0,),
+            elem_offsets=tuple(int(b) for b in bounds),
+        )
+
     geom = np.zeros((Pl, E, npe, mesh.num_geom))
     mass_arr = np.zeros((Pl, E, npe))
     coords = np.zeros((Pl, E, npe, mesh.dim))
@@ -218,7 +264,12 @@ def partition_mesh(mesh: GlobalMesh, num_shards: int,
         inv_deg_pts[k, :ne * npe] = 1.0 / mesh.node_degree[lo:hi].ravel()
 
         gids = mesh.glo_num[lo:hi].ravel()
-        uniq, inv = np.unique(gids, return_inverse=True)
+        # unique + inverse via presence ranks (ids dense, see above)
+        pres = np.zeros((N_glob,), dtype=bool)
+        pres[gids] = True
+        uniq = np.flatnonzero(pres)
+        rank = np.cumsum(pres, dtype=np.int64) - 1
+        inv = rank[gids]
         gather_ids[k, :inv.size] = inv.astype(np.int32)
         node_valid[k, :uniq.size] = 1.0
         inv_degree[k, :uniq.size] = 1.0 / degree_global[uniq]

@@ -62,26 +62,30 @@ def _class_setup(mesh_o, elems, E_pad, with_geom=True):
     safe = np.where(real, elems, 0)
 
     glo = np.where(real[:, None], mesh_o.glo_num[safe], -1)
-    uniq, inv = np.unique(glo[real], return_inverse=True)
+    # unique + inverse via a presence bitmask (ids dense in mesh_o) —
+    # a sorted unique over 13M ids plus a python id->local dict cost
+    # tens of seconds per class at pebble-bed sizes
+    sel = glo[real]
+    pres = np.zeros((mesh_o.num_nodes,), dtype=bool)
+    pres[sel] = True
+    uniq = np.flatnonzero(pres)
+    rank = np.cumsum(pres, dtype=np.int64) - 1
     NN = uniq.size
     gids = np.full((Ec, npe), NN, dtype=np.int32)
-    gids[real] = inv.reshape(-1, npe).astype(np.int32)
+    gids[real] = rank[sel].reshape(-1, npe).astype(np.int32)
 
     geom = None
     if with_geom:
         geom = np.zeros((Ec, npe, mesh_o.num_geom))
-        geom[real] = mesh_o.geom[safe][real]
+        geom[real] = mesh_o.geom[safe[real]]
     nmask = np.ones(NN + 1)
     nmask[NN] = 0.0
-    pm = mesh_o.dirichlet_mask[safe]
-    nmask[gids[real].ravel()] = pm[real].ravel()
+    nmask[gids[real].ravel()] = mesh_o.dirichlet_mask[safe[real]].ravel()
 
-    # global node id -> local, for the slave constraint wiring
-    lookup = {int(g): i for i, g in enumerate(uniq)}
     return {
         "n": n_o, "npe": npe, "E": Ec, "NN": NN,
         "gids": gids.reshape(-1), "geom": geom, "nmask": nmask,
-        "lookup": lookup,
+        "uniq": uniq,   # sorted global ids; local id = searchsorted
     }
 
 
@@ -253,15 +257,13 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
             pairs = gr.face_pairs(verts, ef[ef >= 0], ec[ec >= 0], dim)
             ids, cols, wts = gr.slave_constraints(
                 pairs, verts, glo_f, glo_c, nf, nc, dim)
-            lf = cls_setups[c][p]["lookup"]
-            lc = cls_setups[c + 1][p]["lookup"]
-            per_ids.append(np.asarray([lf[int(g)] for g in ids],
-                                      dtype=np.int32))
+            lf_u = cls_setups[c][p]["uniq"]
+            lc_u = cls_setups[c + 1][p]["uniq"]
+            per_ids.append(np.searchsorted(lf_u, ids).astype(np.int32))
             Kc = nc ** (dim - 1)
             if ids.size:
-                per_cols.append(np.asarray(
-                    [[lc[int(g)] for g in row] for row in cols],
-                    dtype=np.int32).reshape(ids.size, Kc))
+                per_cols.append(np.searchsorted(lc_u, cols).astype(
+                    np.int32).reshape(ids.size, Kc))
             else:
                 per_cols.append(np.zeros((0, Kc), dtype=np.int32))
             per_wts.append(wts)
@@ -322,9 +324,12 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
             P_sup, fine_idx = superdomain_basis(A_far, keep_fine, deep)
             A_sup = (P_sup.T @ A_far @ P_sup).tocsr()
             # interface vertices shared with the coarsest SEM class
-            lc = cls_setups[C - 1][p]["lookup"]
-            iface = [(lc[int(v)], k) for k, v in enumerate(fine_idx)
-                     if int(v) in lc]
+            lc_u = cls_setups[C - 1][p]["uniq"]
+            pos = np.searchsorted(lc_u, fine_idx)
+            inb = (pos < lc_u.size) & (
+                lc_u[np.minimum(pos, lc_u.size - 1)] == fine_idx)
+            iface = [(int(pos[k]), int(k))
+                     for k in np.flatnonzero(inb)]
             mask_sup = np.ones(P_sup.shape[1])
             mask_sup[:fine_idx.size] = vmask_glob[fine_idx]
             # vertex-restriction weight: fraction of the vertex's elements
