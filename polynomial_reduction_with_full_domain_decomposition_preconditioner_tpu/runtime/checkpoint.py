@@ -15,7 +15,8 @@ import scipy.sparse as sp
 from ..amg.composite import HostHierarchy
 
 __all__ = ["save_hierarchies", "load_hierarchies", "save_mesh", "load_mesh",
-           "cached_mesh_builder", "save_chain_info", "load_chain_info"]
+           "cached_mesh_builder", "save_chain_info", "load_chain_info",
+           "save_setup_payload", "load_setup_payload"]
 
 
 def _pack_csr(d: dict, key: str, m: sp.csr_matrix):
@@ -112,6 +113,88 @@ def cached_mesh_builder(builder, directory: str, tag: str):
         return mesh
 
     return cached
+
+
+# ---------------------------------------------------------------------------
+# generic host-setup payload checkpoint: an arbitrary pytree of numpy
+# arrays / scipy CSR matrices / BsrMatrix blocks / python scalars is
+# flattened into ONE raw npz (compression deliberately off — see
+# save_mesh) plus a JSON structure descriptor. Used to checkpoint the
+# unstructured composite preconditioner's entire host setup (the
+# reference re-runs its C++ setup every launch; at PB_1568 sizes ours
+# is ~10 minutes of single-core numpy/scipy — once).
+
+
+def _enc(obj, arrays: dict, pfx: str):
+    import numpy as _np
+    from ..ops.csr import BsrMatrix
+    if obj is None or isinstance(obj, (bool, int, float, str)):
+        return {"t": "lit", "v": obj}
+    if isinstance(obj, _np.generic):
+        return {"t": "lit", "v": obj.item()}
+    if isinstance(obj, _np.ndarray):
+        arrays[pfx] = obj
+        return {"t": "arr", "k": pfx}
+    if sp.issparse(obj):
+        _pack_csr(arrays, pfx, sp.csr_matrix(obj))
+        return {"t": "csr", "k": pfx}
+    if isinstance(obj, BsrMatrix):
+        arrays[pfx + ".vals"] = _np.asarray(obj.vals)
+        arrays[pfx + ".bcols"] = _np.asarray(obj.bcols)
+        arrays[pfx + ".brows"] = _np.asarray(obj.brows)
+        return {"t": "bsr", "k": pfx,
+                "n_rows": obj.n_rows, "n_cols": obj.n_cols}
+    if isinstance(obj, dict):
+        return {"t": "dict",
+                "items": [[k, _enc(v, arrays, f"{pfx}.{k}")]
+                          for k, v in obj.items()]}
+    if isinstance(obj, (list, tuple)):
+        return {"t": "list" if isinstance(obj, list) else "tuple",
+                "items": [_enc(v, arrays, f"{pfx}.{i}")
+                          for i, v in enumerate(obj)]}
+    raise TypeError(f"unsupported payload node {type(obj)} at {pfx}")
+
+
+def _dec(node, z):
+    from ..ops.csr import BsrMatrix
+    t = node["t"]
+    if t == "lit":
+        return node["v"]
+    if t == "arr":
+        return z[node["k"]]
+    if t == "csr":
+        return _unpack_csr(z, node["k"])
+    if t == "bsr":
+        return BsrMatrix(vals=z[node["k"] + ".vals"],
+                         bcols=z[node["k"] + ".bcols"],
+                         brows=z[node["k"] + ".brows"],
+                         n_rows=node["n_rows"], n_cols=node["n_cols"])
+    if t == "dict":
+        return {k: _dec(v, z) for k, v in node["items"]}
+    if t == "list":
+        return [_dec(v, z) for v in node["items"]]
+    if t == "tuple":
+        return tuple(_dec(v, z) for v in node["items"])
+    raise TypeError(f"bad payload node {t}")
+
+
+def save_setup_payload(path: str, payload):
+    import json
+    arrays = {}
+    struct = _enc(payload, arrays, "r")
+    arrays["__struct__"] = np.frombuffer(
+        json.dumps(struct).encode(), dtype=np.uint8).copy()
+    tmp = path + ".tmp"
+    np.savez(tmp, **arrays)
+    import os
+    os.replace(tmp if tmp.endswith(".npz") else tmp + ".npz", path)
+
+
+def load_setup_payload(path: str):
+    import json
+    z = np.load(path)
+    struct = json.loads(bytes(z["__struct__"]).decode())
+    return _dec(struct, z)
 
 
 def save_chain_info(path: str, info: dict):

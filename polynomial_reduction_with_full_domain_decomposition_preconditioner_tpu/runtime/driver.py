@@ -63,13 +63,31 @@ def _build_preconditioner(cfg: Config, dom, mesh_builder, fine_mesh=None):
 
     if cfg.preconditioner == "composite":
         chain_cache = None
-        if (cfg.checkpoint and cfg.inner == "amg"
-                and cfg.scramble is None and cfg.mesh != "pebble"):
+        if cfg.checkpoint and cfg.inner == "amg":
             import os
-            chain_cache = os.path.join(
-                cfg.checkpoint,
-                f"chain_{cfg.mesh}_{'x'.join(map(str, cfg.shape))}"
-                f"_e{cfg.epsilon}_mc{cfg.max_coarse}.npz")
+            if cfg.scramble is None and cfg.mesh != "pebble":
+                # structured path: vertex-chain checkpoint
+                chain_cache = os.path.join(
+                    cfg.checkpoint,
+                    f"chain_{cfg.mesh}_{'x'.join(map(str, cfg.shape))}"
+                    f"_e{cfg.epsilon}_mc{cfg.max_coarse}.npz")
+            else:
+                # unstructured path: the ENTIRE host setup (graph,
+                # regions, node plans, face plans, slave constraints,
+                # superdomain BSR, aggregation chain) is checkpointed —
+                # minutes of single-core numpy at pebble-bed sizes
+                tag = (f"{cfg.mesh}_{'x'.join(map(str, cfg.shape))}"
+                       f"_e{cfg.epsilon}_s{cfg.scramble}")
+                if cfg.mesh == "pebble":
+                    tag += (f"_p{cfg.num_pebbles}_sf{cfg.solid_fraction}"
+                            f"_ms{cfg.mesh_seed}")
+                tag += (f"_N{cfg.poly_degree}_r{cfg.poly_reduction}"
+                        f"_v{cfg.subdomain_overlap}"
+                        f"_w{cfg.superdomain_overlap}"
+                        f"_P{cfg.num_shards}_mc{cfg.max_coarse}"
+                        f"_{cfg.ptype}")
+                chain_cache = os.path.join(cfg.checkpoint,
+                                           f"usetup_{tag}.npz")
         return sub.composite_dd(
             dom, mesh_builder, poly_reduction=cfg.poly_reduction,
             subdomain_overlap=cfg.subdomain_overlap,

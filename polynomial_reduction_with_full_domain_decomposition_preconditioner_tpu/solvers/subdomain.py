@@ -282,7 +282,8 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
             superdomain_overlap=superdomain_overlap,
             num_iterations=num_iterations, inner=inner,
             num_vcycles=num_vcycles, cheby_order=cheby_order,
-            ptype=ptype, max_coarse=max_coarse, fine_mesh=fine_mesh)
+            ptype=ptype, max_coarse=max_coarse, fine_mesh=fine_mesh,
+            setup_cache=chain_cache)
     dim = domain.dim
     N = domain.poly_degree
     dtype = ptype if ptype is not None else domain.dtype

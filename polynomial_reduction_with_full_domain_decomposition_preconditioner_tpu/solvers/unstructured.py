@@ -99,12 +99,22 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
                               ptype=None,
                               max_coarse: int = 600,
                               fine_mesh=None,
-                              far_compress="auto") -> Preconditioner:
+                              far_compress="auto",
+                              setup_cache: str | None = None
+                              ) -> Preconditioner:
     """Composite preconditioner for generic (non-slab) partitions.
 
     Same contract as solvers.subdomain.composite_dd; ``mesh_builder(o)``
     must return the SAME elements (same ids, same local frames) meshed at
     order o — the scramble generator guarantees this across orders.
+
+    setup_cache: optional npz path checkpointing the ENTIRE host setup
+    (element graph, regions, node plans, slave constraints, superdomain
+    BSR blocks, face plans, aggregation hierarchy, Chebyshev bound). The
+    host setup is minutes of single-core numpy/scipy at pebble-bed
+    production sizes; a cached rebuild is one raw-npz load. The caller's
+    path must encode every parameter that shapes the setup (mesh tag,
+    orders, overlaps, shard count, inner, max_coarse, ptype).
     """
     sd = domain.sharded
     dim = domain.dim
@@ -120,414 +130,435 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
     L = len(orders)
     V = subdomain_overlap
 
-    order_set = sorted(set(orders) | {1})
-    mesh_by_order = {
-        o: (fine_mesh if o == N and fine_mesh is not None
-            else mesh_builder(o))
-        for o in order_set}
-    mesh1 = mesh_by_order[1]
-    verts = mesh1.glo_num            # (E, 2^dim) corner vertex ids
-    adj = gr.element_adjacency(verts)
+    if jax.process_count() > 1:
+        # payload arrays are owned-shards-stacked: a cache written by a
+        # different process layout would be silently wrong
+        setup_cache = None
+    payload = None
+    if setup_cache is not None:
+        import os
+        if os.path.exists(setup_cache):
+            from ..runtime.checkpoint import load_setup_payload
+            payload = load_setup_payload(setup_cache)
 
-    # multi-host local-only setup: the index pass (regions, class sizes,
-    # slave-constraint sizes, superdomain shapes) is replicated on every
-    # process — partition-invariant global maxima are SPMD shape
-    # requirements — but the heavy per-shard arrays (geometry, node
-    # plans, BSR values) are materialized only for owned shards
-    # (domain.shard_put assembles the global jax.Arrays, the reference's
-    # per-rank mesh files role, domain.tpp:45)
-    owned = list(sd.owned) if sd.owned else list(range(Pn))
-    owned_set = set(owned)
-
-    # fine partition bounds (contiguous element chunks; global offsets so
-    # the region/ownership maps are partition-process independent)
-    bounds = np.asarray(sd.elem_offsets, dtype=np.int64)
-    own_counts = np.diff(bounds)
-    owner_of = np.repeat(np.arange(Pn), own_counts)
-    slot_of = np.concatenate([np.arange(c) for c in own_counts])
-
-    # ---- per-shard regions: class c elements (class 0 = own + ring 0 at
-    #      order N, slots [0, E_pad) = the own block in partition order) ----
-    C = L                                   # one class per level order
-    class_elems = [[] for _ in range(C)]    # [class][shard] -> ids w/ -1
-    region_sets, far_sets = [], []
-    for p in range(Pn):
-        own = np.arange(bounds[p], bounds[p + 1])
-        rings, far = gr.grow_regions(adj, own, L, overlap=V)
-        own_padded = np.concatenate(
-            [own, np.full(E_pad - own.size, -1, dtype=np.int64)])
-        class_elems[0].append(np.concatenate([own_padded, rings[0]]))
-        for l in range(1, L - 1):
-            class_elems[l].append(rings[l])
-        region_sets.append((own, rings))
-        far_sets.append(far)
-
-    # superdomain compression (the reference's S10 composite prolongation,
-    # subdomain.tpp:1860-2579): when the far field is large, represent it
-    # algebraically — kept-fine vertices near the rings + smoothed
-    # aggregates for the deep far field — instead of carrying every far
-    # element. The structure must be identical across shards (SPMD).
-    if far_compress == "auto":
-        compress = (L > 1
-                    and min(f.size for f in far_sets) >= 128
-                    and not any(f.size == 0 for f in far_sets))
+    if payload is not None:
+        # checkpointed host setup: skip the graph/region/constraint
+        # construction entirely (identical arrays by construction)
+        classes = payload["classes"]
+        slaves = payload["slaves"]
+        sup = payload["sup"]
+        fb_meta = payload["fb_meta"]
+        nv = payload["nv"]
+        C = L                       # one class per level order
     else:
-        compress = bool(far_compress) and L > 1 \
-            and not any(f.size == 0 for f in far_sets)
+        order_set = sorted(set(orders) | {1})
+        mesh_by_order = {
+            o: (fine_mesh if o == N and fine_mesh is not None
+                else mesh_builder(o))
+            for o in order_set}
+        mesh1 = mesh_by_order[1]
+        verts = mesh1.glo_num            # (E, 2^dim) corner vertex ids
+        adj = gr.element_adjacency(verts)
 
-    for p in range(Pn):
-        own, rings = region_sets[p]
-        far = far_sets[p]
-        if L > 1:
-            ring_last = rings[L - 1]
-            if compress:
-                class_elems[L - 1].append(ring_last)
-            else:
-                class_elems[L - 1].append(np.concatenate([ring_last, far]))
-        else:
-            class_elems[0][p] = np.concatenate([class_elems[0][p], far])
+        # multi-host local-only setup: the index pass (regions, class sizes,
+        # slave-constraint sizes, superdomain shapes) is replicated on every
+        # process — partition-invariant global maxima are SPMD shape
+        # requirements — but the heavy per-shard arrays (geometry, node
+        # plans, BSR values) are materialized only for owned shards
+        # (domain.shard_put assembles the global jax.Arrays, the reference's
+        # per-rank mesh files role, domain.tpp:45)
+        owned = list(sd.owned) if sd.owned else list(range(Pn))
+        owned_set = set(owned)
 
-    # pad class element lists to the max count over shards
-    for c in range(C):
-        Ec = max(e.size for e in class_elems[c])
-        class_elems[c] = [
-            np.concatenate([e, np.full(Ec - e.size, -1, dtype=np.int64)])
-            for e in class_elems[c]]
+        # fine partition bounds (contiguous element chunks; global offsets so
+        # the region/ownership maps are partition-process independent)
+        bounds = np.asarray(sd.elem_offsets, dtype=np.int64)
+        own_counts = np.diff(bounds)
+        owner_of = np.repeat(np.arange(Pn), own_counts)
+        slot_of = np.concatenate([np.arange(c) for c in own_counts])
 
-    # ---- per-class node plans + slave constraints ----
-    classes = []        # per class: stacked per-shard arrays
-    slaves = []         # per class pair (c fine -> c+1 coarse)
-    cls_setups = [[_class_setup(mesh_by_order[orders[c]], class_elems[c][p],
-                                E_pad, with_geom=(p in owned_set))
-                   for p in range(Pn)] for c in range(C)]
-
-    nv = mesh1.num_nodes
-    Po = len(owned)
-    for c in range(C):
-        n_o = orders[c] + 1
-        mesh_o = mesh_by_order[orders[c]]
-        per = cls_setups[c]
-        NNs = [s["NN"] for s in per]
-        NN = max(NNs)
-        Ec = per[0]["E"]
-        npe_c = per[0]["npe"]
-        # stacked device arrays: owned shards only (multi-host local-only
-        # setup); maxima above stay global for SPMD shape consistency
-        gids = np.stack([
-            np.where(per[p]["gids"] == per[p]["NN"], NN, per[p]["gids"])
-            for p in owned])
-        nmask = np.zeros((Po, NN + 1))
-        for k, p in enumerate(owned):
-            nmask[k, :per[p]["NN"]] = per[p]["nmask"][:per[p]["NN"]]
-        geom = np.stack([per[p]["geom"] for p in owned])
-        # element source slots in the all_gathered padded fine arrays;
-        # element corner vertex ids + inverse point multiplicity (for the
-        # vertex-space coarse correction of the hybrid inner)
-        src = np.zeros((Po, Ec), dtype=np.int32)
-        valid = np.zeros((Po, Ec))
-        vids = np.full((Po, Ec, 2 ** dim), nv, dtype=np.int32)
-        pw = np.zeros((Po, Ec * npe_c))
-        for k, p in enumerate(owned):
-            e = class_elems[c][p]
-            real = e >= 0
-            safe = np.where(real, e, 0)
-            src[k] = np.where(
-                real, owner_of[safe] * E_pad + slot_of[safe], 0)
-            valid[k] = real.astype(float)
-            vids[k][real] = verts[safe][real]
-            w = (1.0 / mesh_o.node_degree[safe]) * real[:, None]
-            pw[k] = w.reshape(-1)
-        classes.append({
-            "order": orders[c], "n": n_o, "E": Ec, "NN": NN,
-            "gids": gids, "nmask": nmask, "geom": geom,
-            "src": src, "valid": valid, "vids": vids, "pw": pw,
-            "D": diff_matrix(n_o),
-        })
-
-    per_slv_ids = {}    # [c][p] class-local fine slave node ids
-    per_slv_cols = {}   # [c][p] class-local coarse constraint node ids
-    for c in range(C - 1):
-        nf, nc = orders[c] + 1, orders[c + 1] + 1
-        glo_f = mesh_by_order[orders[c]].glo_num
-        glo_c = mesh_by_order[orders[c + 1]].glo_num
-        per_ids, per_cols, per_wts = [], [], []
+        # ---- per-shard regions: class c elements (class 0 = own + ring 0 at
+        #      order N, slots [0, E_pad) = the own block in partition order) ----
+        C = L                                   # one class per level order
+        class_elems = [[] for _ in range(C)]    # [class][shard] -> ids w/ -1
+        region_sets, far_sets = [], []
         for p in range(Pn):
-            ef = class_elems[c][p]
-            ec = class_elems[c + 1][p]
-            pairs = gr.face_pairs(verts, ef[ef >= 0], ec[ec >= 0], dim)
-            ids, cols, wts = gr.slave_constraints(
-                pairs, verts, glo_f, glo_c, nf, nc, dim)
-            lf_u = cls_setups[c][p]["uniq"]
-            lc_u = cls_setups[c + 1][p]["uniq"]
-            per_ids.append(np.searchsorted(lf_u, ids).astype(np.int32))
-            Kc = nc ** (dim - 1)
-            if ids.size:
-                per_cols.append(np.searchsorted(lc_u, cols).astype(
-                    np.int32).reshape(ids.size, Kc))
-            else:
-                per_cols.append(np.zeros((0, Kc), dtype=np.int32))
-            per_wts.append(wts)
-        per_slv_ids[c] = per_ids
-        per_slv_cols[c] = per_cols
-        Ns = max(a.size for a in per_ids)     # global max (SPMD shapes)
-        K = nc ** (dim - 1)
-        ids_a = np.full((Po, Ns), classes[c]["NN"], dtype=np.int32)
-        cols_a = np.full((Po, Ns, K), classes[c + 1]["NN"], dtype=np.int32)
-        wts_a = np.zeros((Po, Ns, K))
-        for j, p in enumerate(owned):
-            k = per_ids[p].size
-            if k:
-                ids_a[j, :k] = per_ids[p]
-                cols_a[j, :k] = per_cols[p]
-                wts_a[j, :k] = per_wts[p]
-        slaves.append({"ids": ids_a, "cols": cols_a, "wts": wts_a})
+            own = np.arange(bounds[p], bounds[p + 1])
+            rings, far = gr.grow_regions(adj, own, L, overlap=V)
+            own_padded = np.concatenate(
+                [own, np.full(E_pad - own.size, -1, dtype=np.int64)])
+            class_elems[0].append(np.concatenate([own_padded, rings[0]]))
+            for l in range(1, L - 1):
+                class_elems[l].append(rings[l])
+            region_sets.append((own, rings))
+            far_sets.append(far)
 
-    # ---- superdomain compression setup (S10): per-shard algebraic far
-    #      field. Each far element's Q1 contribution lands exactly once in
-    #      the composite (SEM classes carry own+rings, A_sup carries far);
-    #      superdomain_overlap element layers of the far zone keep fine
-    #      vertex DOFs, the deep rest is aggregated. ----
-    sup = None
-    if compress:
-        import scipy.sparse as sp
-        from ..amg.aggregation import (q1_vertex_matrix_subset,
-                                       superdomain_basis)
-        from ..amg.composite import _mask_fold
-        vmask_glob = np.ones(nv)
-        vmask_glob[mesh1.glo_num[mesh1.dirichlet_mask < 0.5]] = 0.0
-        degree_v = np.bincount(verts.ravel(), minlength=nv).astype(float)
+        # superdomain compression (the reference's S10 composite prolongation,
+        # subdomain.tpp:1860-2579): when the far field is large, represent it
+        # algebraically — kept-fine vertices near the rings + smoothed
+        # aggregates for the deep far field — instead of carrying every far
+        # element. The structure must be identical across shards (SPMD).
+        if far_compress == "auto":
+            compress = (L > 1
+                        and min(f.size for f in far_sets) >= 128
+                        and not any(f.size == 0 for f in far_sets))
+        else:
+            compress = bool(far_compress) and L > 1 \
+                and not any(f.size == 0 for f in far_sets)
 
-        per = []
         for p in range(Pn):
             own, rings = region_sets[p]
             far = far_sets[p]
-            region = np.concatenate([own] + list(rings))
-            # kept-fine far layers: superdomain_overlap adjacency steps
-            reg_mask = np.zeros(adj.shape[0], dtype=bool)
-            reg_mask[region] = True
-            grown = reg_mask.copy()
-            for _ in range(max(superdomain_overlap, 1)):
-                grown |= (adj @ grown.astype(np.int8)).astype(bool)
-            far_mask = np.zeros(adj.shape[0], dtype=bool)
-            far_mask[far] = True
-            ov_elems = np.flatnonzero(grown & far_mask)
+            if L > 1:
+                ring_last = rings[L - 1]
+                if compress:
+                    class_elems[L - 1].append(ring_last)
+                else:
+                    class_elems[L - 1].append(np.concatenate([ring_last, far]))
+            else:
+                class_elems[0][p] = np.concatenate([class_elems[0][p], far])
 
-            in_far = np.zeros(nv, dtype=bool)
-            in_far[verts[far].ravel()] = True
-            keep_fine = np.zeros(nv, dtype=bool)
-            keep_fine[verts[ov_elems].ravel()] = True
-            keep_fine &= in_far
-            deep = in_far & ~keep_fine & (vmask_glob > 0.5)
+        # pad class element lists to the max count over shards
+        for c in range(C):
+            Ec = max(e.size for e in class_elems[c])
+            class_elems[c] = [
+                np.concatenate([e, np.full(Ec - e.size, -1, dtype=np.int64)])
+                for e in class_elems[c]]
 
-            A_far = _mask_fold(q1_vertex_matrix_subset(mesh1, far),
-                               vmask_glob)
-            P_sup, fine_idx = superdomain_basis(A_far, keep_fine, deep)
-            A_sup = (P_sup.T @ A_far @ P_sup).tocsr()
-            # interface vertices shared with the coarsest SEM class
-            lc_u = cls_setups[C - 1][p]["uniq"]
-            pos = np.searchsorted(lc_u, fine_idx)
-            inb = (pos < lc_u.size) & (
-                lc_u[np.minimum(pos, lc_u.size - 1)] == fine_idx)
-            iface = [(int(pos[k]), int(k))
-                     for k in np.flatnonzero(inb)]
-            mask_sup = np.ones(P_sup.shape[1])
-            mask_sup[:fine_idx.size] = vmask_glob[fine_idx]
-            # vertex-restriction weight: fraction of the vertex's elements
-            # that live in the far zone (the far field's share of the
-            # global vertex residual)
-            far_deg = np.bincount(verts[far].ravel(), minlength=nv)
-            wrest = np.ones(P_sup.shape[1])
-            wrest[:fine_idx.size] = far_deg[fine_idx] / degree_v[fine_idx]
-            per.append({
-                "A": A_sup, "P": P_sup, "mask": mask_sup, "wrest": wrest,
-                "iface": iface, "far": far,
+        # ---- per-class node plans + slave constraints ----
+        classes = []        # per class: stacked per-shard arrays
+        slaves = []         # per class pair (c fine -> c+1 coarse)
+        cls_setups = [[_class_setup(mesh_by_order[orders[c]], class_elems[c][p],
+                                    E_pad, with_geom=(p in owned_set))
+                       for p in range(Pn)] for c in range(C)]
+
+        nv = mesh1.num_nodes
+        Po = len(owned)
+        for c in range(C):
+            n_o = orders[c] + 1
+            mesh_o = mesh_by_order[orders[c]]
+            per = cls_setups[c]
+            NNs = [s["NN"] for s in per]
+            NN = max(NNs)
+            Ec = per[0]["E"]
+            npe_c = per[0]["npe"]
+            # stacked device arrays: owned shards only (multi-host local-only
+            # setup); maxima above stay global for SPMD shape consistency
+            gids = np.stack([
+                np.where(per[p]["gids"] == per[p]["NN"], NN, per[p]["gids"])
+                for p in owned])
+            nmask = np.zeros((Po, NN + 1))
+            for k, p in enumerate(owned):
+                nmask[k, :per[p]["NN"]] = per[p]["nmask"][:per[p]["NN"]]
+            geom = np.stack([per[p]["geom"] for p in owned])
+            # element source slots in the all_gathered padded fine arrays;
+            # element corner vertex ids + inverse point multiplicity (for the
+            # vertex-space coarse correction of the hybrid inner)
+            src = np.zeros((Po, Ec), dtype=np.int32)
+            valid = np.zeros((Po, Ec))
+            vids = np.full((Po, Ec, 2 ** dim), nv, dtype=np.int32)
+            pw = np.zeros((Po, Ec * npe_c))
+            for k, p in enumerate(owned):
+                e = class_elems[c][p]
+                real = e >= 0
+                safe = np.where(real, e, 0)
+                src[k] = np.where(
+                    real, owner_of[safe] * E_pad + slot_of[safe], 0)
+                valid[k] = real.astype(float)
+                vids[k][real] = verts[safe][real]
+                w = (1.0 / mesh_o.node_degree[safe]) * real[:, None]
+                pw[k] = w.reshape(-1)
+            classes.append({
+                "order": orders[c], "n": n_o, "E": Ec, "NN": NN,
+                "gids": gids, "nmask": nmask, "geom": geom,
+                "src": src, "valid": valid, "vids": vids, "pw": pw,
+                "D": diff_matrix(n_o),
             })
 
-        ns = max(d["A"].shape[0] for d in per)
-        Ef = max(d["far"].size for d in per)
-        Ni = max(len(d["iface"]) for d in per)
-        A_pad, P_pad, Pt_pad = [], [], []
-        mask_a = np.zeros((Po, ns))
-        wrest_a = np.zeros((Po, ns))
-        diag_a = np.zeros((Po, ns))
-        ifc_a = np.full((Po, Ni), classes[C - 1]["NN"], dtype=np.int32)
-        ifs_a = np.full((Po, Ni), ns, dtype=np.int32)
-        sup_src = np.zeros((Po, Ef), dtype=np.int32)
-        sup_valid = np.zeros((Po, Ef))
-        sup_vids = np.full((Po, Ef, 2 ** dim), nv, dtype=np.int32)
-        for p, d in enumerate(per):
-            # resized CSRs for ALL shards (cheap; bsr_stack derives the
-            # global pad count from every pattern, values only for owned)
-            A = sp.csr_matrix(d["A"])
-            A.resize((ns, ns))
-            A_pad.append(A)
-            Pm = sp.csr_matrix(d["P"])
-            Pm.resize((nv, ns))
-            P_pad.append(Pm)
-            Pt_pad.append(Pm.T.tocsr())
-        for j, p in enumerate(owned):
-            d = per[p]
-            k = d["A"].shape[0]
-            mask_a[j, :k] = d["mask"]
-            wrest_a[j, :k] = d["wrest"]
-            diag_a[j, :k] = d["A"].diagonal()
-            for i, (ci, si) in enumerate(d["iface"]):
-                ifc_a[j, i] = ci
-                ifs_a[j, i] = si
-            f = d["far"]
-            sup_src[j, :f.size] = owner_of[f] * E_pad + slot_of[f]
-            sup_valid[j, :f.size] = 1.0
-            sup_vids[j, :f.size] = verts[f]
-        from ..ops.csr import bsr_stack
-        sup = {
-            "A": bsr_stack(A_pad, dtype=dtype, select=owned),
-            "P": bsr_stack(P_pad, dtype=dtype, select=owned),
-            "Pt": bsr_stack(Pt_pad, dtype=dtype, select=owned),
-            "mask": mask_a, "wrest": wrest_a, "diag": diag_a,
-            "ifc": ifc_a, "ifs": ifs_a,
-            "src": sup_src, "valid": sup_valid, "vids": sup_vids,
-            "ns": ns,
-        }
-
-    # ---- face-block assembly plans + touched-node compaction ----
-    # The per-class scatter/gather assembly dominates the composite solve
-    # on TPU (~30 ms/pass at 2.1M pts); replace it with the face-pair
-    # exchange (ops/face_dssum.py, exact) and run the slave/superdomain
-    # constraint algebra on a COMPACT vector of just the touched nodes.
-    # The index pass runs for every shard (global pad maxima are SPMD
-    # shape requirements); stacked device arrays are owned-only.
-    fb_meta = None
-    if dim == 3:
-        from ..ops import face_dssum as fd
-        ok = True
-        cls_plans = []          # [c][p] -> plan arrays
-        cls_NR = []
-        cls_NG = []
-        for c in range(C):
-            n_c = orders[c] + 1
-            plans_c, NRs, NGs = [], [], []
+        per_slv_ids = {}    # [c][p] class-local fine slave node ids
+        per_slv_cols = {}   # [c][p] class-local coarse constraint node ids
+        for c in range(C - 1):
+            nf, nc = orders[c] + 1, orders[c + 1] + 1
+            glo_f = mesh_by_order[orders[c]].glo_num
+            glo_c = mesh_by_order[orders[c + 1]].glo_num
+            per_ids, per_cols, per_wts = [], [], []
             for p in range(Pn):
-                s = cls_setups[c][p]
-                gl = s["gids"].reshape(s["E"], s["npe"]).astype(np.int64)
-                gl = np.where(gl == s["NN"], -1, gl)
-                deg_c = np.bincount(gl[gl >= 0],
-                                    minlength=s["NN"]).astype(np.int64)
-                deg_pts = np.where(gl >= 0, deg_c[np.maximum(gl, 0)], 0)
-                plan, meta = fd.build_face_plan(gl, n_c, deg_pts)
-                if plan is None:
-                    ok = False
-                    break
-                # plan's rest_ids index its own compact node list; remap
-                # to CLASS-LOCAL node ids so the compact vector can be
-                # shared with the slave algebra? No — keep the plan
-                # self-contained; slave algebra uses its own compact set.
-                plans_c.append(plan)
-                NRs.append(meta["num_rest_nodes"])
-                NGs.append(meta["num_edge_groups"])
-            if not ok:
-                break
-            cls_plans.append(plans_c)
-            cls_NR.append(max(NRs) if NRs else 0)
-            cls_NG.append(max(NGs) if NGs else 0)
-        if ok:
-            # touched-node sets per class: slave cols from below, slave
-            # ids to above, superdomain interface on the coarsest class
-            cls_T = []          # [c][p] -> sorted class-local node ids
+                ef = class_elems[c][p]
+                ec = class_elems[c + 1][p]
+                pairs = gr.face_pairs(verts, ef[ef >= 0], ec[ec >= 0], dim)
+                ids, cols, wts = gr.slave_constraints(
+                    pairs, verts, glo_f, glo_c, nf, nc, dim)
+                lf_u = cls_setups[c][p]["uniq"]
+                lc_u = cls_setups[c + 1][p]["uniq"]
+                per_ids.append(np.searchsorted(lf_u, ids).astype(np.int32))
+                Kc = nc ** (dim - 1)
+                if ids.size:
+                    per_cols.append(np.searchsorted(lc_u, cols).astype(
+                        np.int32).reshape(ids.size, Kc))
+                else:
+                    per_cols.append(np.zeros((0, Kc), dtype=np.int32))
+                per_wts.append(wts)
+            per_slv_ids[c] = per_ids
+            per_slv_cols[c] = per_cols
+            Ns = max(a.size for a in per_ids)     # global max (SPMD shapes)
+            K = nc ** (dim - 1)
+            ids_a = np.full((Po, Ns), classes[c]["NN"], dtype=np.int32)
+            cols_a = np.full((Po, Ns, K), classes[c + 1]["NN"], dtype=np.int32)
+            wts_a = np.zeros((Po, Ns, K))
+            for j, p in enumerate(owned):
+                k = per_ids[p].size
+                if k:
+                    ids_a[j, :k] = per_ids[p]
+                    cols_a[j, :k] = per_cols[p]
+                    wts_a[j, :k] = per_wts[p]
+            slaves.append({"ids": ids_a, "cols": cols_a, "wts": wts_a})
+
+        # ---- superdomain compression setup (S10): per-shard algebraic far
+        #      field. Each far element's Q1 contribution lands exactly once in
+        #      the composite (SEM classes carry own+rings, A_sup carries far);
+        #      superdomain_overlap element layers of the far zone keep fine
+        #      vertex DOFs, the deep rest is aggregated. ----
+        sup = None
+        if compress:
+            import scipy.sparse as sp
+            from ..amg.aggregation import (q1_vertex_matrix_subset,
+                                           superdomain_basis)
+            from ..amg.composite import _mask_fold
+            vmask_glob = np.ones(nv)
+            vmask_glob[mesh1.glo_num[mesh1.dirichlet_mask < 0.5]] = 0.0
+            degree_v = np.bincount(verts.ravel(), minlength=nv).astype(float)
+
+            per = []
+            for p in range(Pn):
+                own, rings = region_sets[p]
+                far = far_sets[p]
+                region = np.concatenate([own] + list(rings))
+                # kept-fine far layers: superdomain_overlap adjacency steps
+                reg_mask = np.zeros(adj.shape[0], dtype=bool)
+                reg_mask[region] = True
+                grown = reg_mask.copy()
+                for _ in range(max(superdomain_overlap, 1)):
+                    grown |= (adj @ grown.astype(np.int8)).astype(bool)
+                far_mask = np.zeros(adj.shape[0], dtype=bool)
+                far_mask[far] = True
+                ov_elems = np.flatnonzero(grown & far_mask)
+
+                in_far = np.zeros(nv, dtype=bool)
+                in_far[verts[far].ravel()] = True
+                keep_fine = np.zeros(nv, dtype=bool)
+                keep_fine[verts[ov_elems].ravel()] = True
+                keep_fine &= in_far
+                deep = in_far & ~keep_fine & (vmask_glob > 0.5)
+
+                A_far = _mask_fold(q1_vertex_matrix_subset(mesh1, far),
+                                   vmask_glob)
+                P_sup, fine_idx = superdomain_basis(A_far, keep_fine, deep)
+                A_sup = (P_sup.T @ A_far @ P_sup).tocsr()
+                # interface vertices shared with the coarsest SEM class
+                lc_u = cls_setups[C - 1][p]["uniq"]
+                pos = np.searchsorted(lc_u, fine_idx)
+                inb = (pos < lc_u.size) & (
+                    lc_u[np.minimum(pos, lc_u.size - 1)] == fine_idx)
+                iface = [(int(pos[k]), int(k))
+                         for k in np.flatnonzero(inb)]
+                mask_sup = np.ones(P_sup.shape[1])
+                mask_sup[:fine_idx.size] = vmask_glob[fine_idx]
+                # vertex-restriction weight: fraction of the vertex's elements
+                # that live in the far zone (the far field's share of the
+                # global vertex residual)
+                far_deg = np.bincount(verts[far].ravel(), minlength=nv)
+                wrest = np.ones(P_sup.shape[1])
+                wrest[:fine_idx.size] = far_deg[fine_idx] / degree_v[fine_idx]
+                per.append({
+                    "A": A_sup, "P": P_sup, "mask": mask_sup, "wrest": wrest,
+                    "iface": iface, "far": far,
+                })
+
+            ns = max(d["A"].shape[0] for d in per)
+            Ef = max(d["far"].size for d in per)
+            Ni = max(len(d["iface"]) for d in per)
+            A_pad, P_pad, Pt_pad = [], [], []
+            mask_a = np.zeros((Po, ns))
+            wrest_a = np.zeros((Po, ns))
+            diag_a = np.zeros((Po, ns))
+            ifc_a = np.full((Po, Ni), classes[C - 1]["NN"], dtype=np.int32)
+            ifs_a = np.full((Po, Ni), ns, dtype=np.int32)
+            sup_src = np.zeros((Po, Ef), dtype=np.int32)
+            sup_valid = np.zeros((Po, Ef))
+            sup_vids = np.full((Po, Ef, 2 ** dim), nv, dtype=np.int32)
+            for p, d in enumerate(per):
+                # resized CSRs for ALL shards (cheap; bsr_stack derives the
+                # global pad count from every pattern, values only for owned)
+                A = sp.csr_matrix(d["A"])
+                A.resize((ns, ns))
+                A_pad.append(A)
+                Pm = sp.csr_matrix(d["P"])
+                Pm.resize((nv, ns))
+                P_pad.append(Pm)
+                Pt_pad.append(Pm.T.tocsr())
+            for j, p in enumerate(owned):
+                d = per[p]
+                k = d["A"].shape[0]
+                mask_a[j, :k] = d["mask"]
+                wrest_a[j, :k] = d["wrest"]
+                diag_a[j, :k] = d["A"].diagonal()
+                for i, (ci, si) in enumerate(d["iface"]):
+                    ifc_a[j, i] = ci
+                    ifs_a[j, i] = si
+                f = d["far"]
+                sup_src[j, :f.size] = owner_of[f] * E_pad + slot_of[f]
+                sup_valid[j, :f.size] = 1.0
+                sup_vids[j, :f.size] = verts[f]
+            from ..ops.csr import bsr_stack
+            sup = {
+                "A": bsr_stack(A_pad, dtype=dtype, select=owned),
+                "P": bsr_stack(P_pad, dtype=dtype, select=owned),
+                "Pt": bsr_stack(Pt_pad, dtype=dtype, select=owned),
+                "mask": mask_a, "wrest": wrest_a, "diag": diag_a,
+                "ifc": ifc_a, "ifs": ifs_a,
+                "src": sup_src, "valid": sup_valid, "vids": sup_vids,
+                "ns": ns,
+            }
+
+        # ---- face-block assembly plans + touched-node compaction ----
+        # The per-class scatter/gather assembly dominates the composite solve
+        # on TPU (~30 ms/pass at 2.1M pts); replace it with the face-pair
+        # exchange (ops/face_dssum.py, exact) and run the slave/superdomain
+        # constraint algebra on a COMPACT vector of just the touched nodes.
+        # The index pass runs for every shard (global pad maxima are SPMD
+        # shape requirements); stacked device arrays are owned-only.
+        fb_meta = None
+        if dim == 3:
+            from ..ops import face_dssum as fd
+            ok = True
+            cls_plans = []          # [c][p] -> plan arrays
+            cls_NR = []
+            cls_NG = []
             for c in range(C):
-                per_T = []
+                n_c = orders[c] + 1
+                plans_c, NRs, NGs = [], [], []
                 for p in range(Pn):
-                    parts_T = []
-                    if c > 0 and per_slv_cols[c - 1][p].size:
-                        parts_T.append(per_slv_cols[c - 1][p].reshape(-1))
-                    if c < C - 1 and per_slv_ids[c][p].size:
-                        parts_T.append(per_slv_ids[c][p])
-                    if c == C - 1 and sup is not None:
-                        parts_T.append(np.asarray(
-                            [ci for ci, _ in per[p]["iface"]],
-                            dtype=np.int64))
-                    T = (np.unique(np.concatenate(parts_T))
-                         if parts_T else np.zeros(0, np.int64))
-                    per_T.append(T)
-                cls_T.append(per_T)
-            cls_NT = [max(t.size for t in cls_T[c]) for c in range(C)]
-
-            # remap slave/sup index arrays into T-compact numbering and
-            # build per-class write-back maps (owned shards only)
-            def tmap_of(c, p):
-                T = cls_T[c][p]
-                m = np.full(cls_setups[c][p]["NN"] + 1, cls_NT[c],
-                            dtype=np.int32)
-                m[T] = np.arange(T.size, dtype=np.int32)
-                return m
-
-            for c in range(C - 1):
-                s = slaves[c]
-                for j, p in enumerate(owned):
-                    mf = tmap_of(c, p)
-                    mc = tmap_of(c + 1, p)
-                    nn_f = cls_setups[c][p]["NN"]
-                    nn_c = cls_setups[c + 1][p]["NN"]
-                    real = s["ids"][j] < nn_f
-                    s["ids"][j] = np.where(
-                        real, mf[np.minimum(s["ids"][j], nn_f)],
-                        cls_NT[c])
-                    realc = s["cols"][j] < nn_c
-                    s["cols"][j] = np.where(
-                        realc, mc[np.minimum(s["cols"][j], nn_c)],
-                        cls_NT[c + 1])
-            if sup is not None:
-                for j, p in enumerate(owned):
-                    mt = tmap_of(C - 1, p)
-                    nn_t = cls_setups[C - 1][p]["NN"]
-                    real = sup["ifc"][j] < nn_t
-                    sup["ifc"][j] = np.where(
-                        real, mt[np.minimum(sup["ifc"][j], nn_t)],
-                        cls_NT[C - 1])
-
-            fb_meta = {"n": [orders[c] + 1 for c in range(C)],
-                       "NR": cls_NR, "NT": cls_NT, "NG": cls_NG}
-            for c in range(C):
-                shapes = fd.max_shapes(cls_plans[c])
-                padded = [fd.plan_pad_to(cls_plans[c][p], cls_NR[c],
-                                         shapes) for p in owned]
-                fbp = {key: np.stack([pl[key] for pl in padded])
-                       for key in padded[0]}
-                for key in ("rowmask", "emask", "eM"):
-                    fbp[key] = fbp[key].astype(np.float64)
-                trep = np.zeros((Po, cls_NT[c] + 1), dtype=np.int32)
-                NPT = 0
-                tp_list, ti_list = [], []
-                for j, p in enumerate(owned):
-                    T = cls_T[c][p]
-                    tm = tmap_of(c, p)
-                    gl = cls_setups[c][p]["gids"]
-                    sel = np.flatnonzero(np.isin(
-                        gl, T, assume_unique=False))
-                    tp_list.append(sel.astype(np.int64))
-                    ti_list.append(tm[gl[sel]])
-                    # representative point per touched node: reversed
-                    # fancy assignment keeps the FIRST occurrence
-                    first = np.zeros(cls_NT[c] + 1, dtype=np.int32)
-                    first[tm[gl[sel]][::-1]] = sel[::-1]
-                    trep[j] = first
-                    NPT = max(NPT, sel.size)
-                tpts = np.full((Po, NPT), 2 ** 31 - 1, dtype=np.int64)
-                tids = np.full((Po, NPT), cls_NT[c], dtype=np.int32)
-                for j in range(Po):
-                    k = tp_list[j].size
-                    tpts[j, :k] = tp_list[j]
-                    tids[j, :k] = ti_list[j]
-                classes[c]["fbp"] = fbp
-                classes[c]["trep"] = trep
-                classes[c]["tpts"] = tpts
-                classes[c]["tids"] = tids
-                # point-space mask (replaces nmask[gids] gather)
-                pm = np.zeros((Po, classes[c]["E"]
-                               * classes[c]["n"] ** dim))
-                for j, p in enumerate(owned):
                     s = cls_setups[c][p]
-                    pm[j] = s["nmask"][np.minimum(s["gids"], s["NN"])]
-                classes[c]["pmask"] = pm
+                    gl = s["gids"].reshape(s["E"], s["npe"]).astype(np.int64)
+                    gl = np.where(gl == s["NN"], -1, gl)
+                    deg_c = np.bincount(gl[gl >= 0],
+                                        minlength=s["NN"]).astype(np.int64)
+                    deg_pts = np.where(gl >= 0, deg_c[np.maximum(gl, 0)], 0)
+                    plan, meta = fd.build_face_plan(gl, n_c, deg_pts)
+                    if plan is None:
+                        ok = False
+                        break
+                    # plan's rest_ids index its own compact node list; remap
+                    # to CLASS-LOCAL node ids so the compact vector can be
+                    # shared with the slave algebra? No — keep the plan
+                    # self-contained; slave algebra uses its own compact set.
+                    plans_c.append(plan)
+                    NRs.append(meta["num_rest_nodes"])
+                    NGs.append(meta["num_edge_groups"])
+                if not ok:
+                    break
+                cls_plans.append(plans_c)
+                cls_NR.append(max(NRs) if NRs else 0)
+                cls_NG.append(max(NGs) if NGs else 0)
+            if ok:
+                # touched-node sets per class: slave cols from below, slave
+                # ids to above, superdomain interface on the coarsest class
+                cls_T = []          # [c][p] -> sorted class-local node ids
+                for c in range(C):
+                    per_T = []
+                    for p in range(Pn):
+                        parts_T = []
+                        if c > 0 and per_slv_cols[c - 1][p].size:
+                            parts_T.append(per_slv_cols[c - 1][p].reshape(-1))
+                        if c < C - 1 and per_slv_ids[c][p].size:
+                            parts_T.append(per_slv_ids[c][p])
+                        if c == C - 1 and sup is not None:
+                            parts_T.append(np.asarray(
+                                [ci for ci, _ in per[p]["iface"]],
+                                dtype=np.int64))
+                        T = (np.unique(np.concatenate(parts_T))
+                             if parts_T else np.zeros(0, np.int64))
+                        per_T.append(T)
+                    cls_T.append(per_T)
+                cls_NT = [max(t.size for t in cls_T[c]) for c in range(C)]
+
+                # remap slave/sup index arrays into T-compact numbering and
+                # build per-class write-back maps (owned shards only)
+                def tmap_of(c, p):
+                    T = cls_T[c][p]
+                    m = np.full(cls_setups[c][p]["NN"] + 1, cls_NT[c],
+                                dtype=np.int32)
+                    m[T] = np.arange(T.size, dtype=np.int32)
+                    return m
+
+                for c in range(C - 1):
+                    s = slaves[c]
+                    for j, p in enumerate(owned):
+                        mf = tmap_of(c, p)
+                        mc = tmap_of(c + 1, p)
+                        nn_f = cls_setups[c][p]["NN"]
+                        nn_c = cls_setups[c + 1][p]["NN"]
+                        real = s["ids"][j] < nn_f
+                        s["ids"][j] = np.where(
+                            real, mf[np.minimum(s["ids"][j], nn_f)],
+                            cls_NT[c])
+                        realc = s["cols"][j] < nn_c
+                        s["cols"][j] = np.where(
+                            realc, mc[np.minimum(s["cols"][j], nn_c)],
+                            cls_NT[c + 1])
+                if sup is not None:
+                    for j, p in enumerate(owned):
+                        mt = tmap_of(C - 1, p)
+                        nn_t = cls_setups[C - 1][p]["NN"]
+                        real = sup["ifc"][j] < nn_t
+                        sup["ifc"][j] = np.where(
+                            real, mt[np.minimum(sup["ifc"][j], nn_t)],
+                            cls_NT[C - 1])
+
+                fb_meta = {"n": [orders[c] + 1 for c in range(C)],
+                           "NR": cls_NR, "NT": cls_NT, "NG": cls_NG}
+                for c in range(C):
+                    shapes = fd.max_shapes(cls_plans[c])
+                    padded = [fd.plan_pad_to(cls_plans[c][p], cls_NR[c],
+                                             shapes) for p in owned]
+                    fbp = {key: np.stack([pl[key] for pl in padded])
+                           for key in padded[0]}
+                    for key in ("rowmask", "emask", "eM"):
+                        fbp[key] = fbp[key].astype(np.float64)
+                    trep = np.zeros((Po, cls_NT[c] + 1), dtype=np.int32)
+                    NPT = 0
+                    tp_list, ti_list = [], []
+                    for j, p in enumerate(owned):
+                        T = cls_T[c][p]
+                        tm = tmap_of(c, p)
+                        gl = cls_setups[c][p]["gids"]
+                        sel = np.flatnonzero(np.isin(
+                            gl, T, assume_unique=False))
+                        tp_list.append(sel.astype(np.int64))
+                        ti_list.append(tm[gl[sel]])
+                        # representative point per touched node: reversed
+                        # fancy assignment keeps the FIRST occurrence
+                        first = np.zeros(cls_NT[c] + 1, dtype=np.int32)
+                        first[tm[gl[sel]][::-1]] = sel[::-1]
+                        trep[j] = first
+                        NPT = max(NPT, sel.size)
+                    tpts = np.full((Po, NPT), 2 ** 31 - 1, dtype=np.int64)
+                    tids = np.full((Po, NPT), cls_NT[c], dtype=np.int32)
+                    for j in range(Po):
+                        k = tp_list[j].size
+                        tpts[j, :k] = tp_list[j]
+                        tids[j, :k] = ti_list[j]
+                    classes[c]["fbp"] = fbp
+                    classes[c]["trep"] = trep
+                    classes[c]["tpts"] = tpts
+                    classes[c]["tids"] = tids
+                    # point-space mask (replaces nmask[gids] gather)
+                    pm = np.zeros((Po, classes[c]["E"]
+                                   * classes[c]["n"] ** dim))
+                    for j, p in enumerate(owned):
+                        s = cls_setups[c][p]
+                        pm[j] = s["nmask"][np.minimum(s["gids"], s["NN"])]
+                    classes[c]["pmask"] = pm
 
     # ---- device pytree (shard_put: squeezed single-device, stacked
     #      single-process SPMD, global jax.Arrays multi-process) ----
@@ -617,10 +648,14 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
         from ..amg.aggregation import (q1_vertex_matrix, aggregation_chain,
                                        pack_level_chain)
         from ..utils.gll import gll_points_weights
-        A_v, vmask = q1_vertex_matrix(mesh1)
-        chain = pack_level_chain(
-            aggregation_chain(A_v, vmask, max_coarse=max_coarse),
-            dtype=dtype)
+        if payload is not None and payload.get("agg_info") is not None:
+            agg_info, vmask = payload["agg_info"], payload["agg_vmask"]
+        else:
+            A_v, vmask = q1_vertex_matrix(
+                mesh1 if payload is None else mesh_builder(1))
+            agg_info = aggregation_chain(A_v, vmask,
+                                         max_coarse=max_coarse)
+        chain = pack_level_chain(agg_info, dtype=dtype)
 
         # trilinear corner-blend matrices (npe_o, 2^dim) per class: the
         # gather-free vertex<->nodal transfer factors
@@ -936,7 +971,10 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
         }
         return precond
 
-    if inner == "amg":
+    if inner == "amg" and payload is not None \
+            and payload.get("lmax0") is not None:
+        extra["amg"]["lmax0"] = jnp.asarray(payload["lmax0"], dtype=dtype)
+    elif inner == "amg":
         # Chebyshev lambda_max(D^-1 S A) of the composite, by device power
         # iteration over the same traced ops (hypre's eigenvalue-estimate
         # role, subdomain.tpp:3496-3497)
@@ -990,6 +1028,21 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
             extra["amg"]["lmax0"] = jax.jit(fn)(core)
         else:
             extra["amg"]["lmax0"] = jax.jit(_lmax_impl)(core)
+
+    if setup_cache is not None and payload is None:
+        from ..runtime.checkpoint import save_setup_payload
+        sav = {"classes": classes, "slaves": slaves, "sup": sup,
+               "fb_meta": fb_meta, "nv": nv,
+               "agg_info": None, "agg_vmask": None, "lmax0": None}
+        if inner == "amg":
+            sav["agg_info"] = agg_info
+            sav["agg_vmask"] = vmask
+            # float64 numpy holds every ptype's value exactly (f32/bf16
+            # round-trip bitwise; jnp would silently clamp to f32 when
+            # x64 is off)
+            sav["lmax0"] = np.asarray(
+                extra["amg"]["lmax0"]).astype(np.float64)
+        save_setup_payload(setup_cache, sav)
 
     return Preconditioner(build=build, extra=extra,
                           _extra_specs=extra_specs)

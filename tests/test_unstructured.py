@@ -254,3 +254,32 @@ def test_unstructured_bf16_ptype():
     err = np.abs(dom.from_device_field(res.u)
                  - dom.from_device_field(u_star)).max()
     assert err < 1e-3
+
+
+def test_unstructured_setup_cache_roundtrip(tmp_path):
+    # the host-setup checkpoint must reproduce the preconditioner
+    # exactly: identical residual history from a fresh build and a
+    # cache-loaded build (runtime/checkpoint.save_setup_payload)
+    def mk(o):
+        return mg.scramble_mesh(mg.kershaw_mesh((4, 4, 4), o, epsilon=0.3),
+                                seed=11)
+
+    mesh = mk(3)
+    cache = str(tmp_path / "usetup.npz")
+
+    def solve():
+        dom = Domain(partition_mesh(mesh, 1), dtype=jnp.float64)
+        u_star = dom.initial_function(4, seed=3)
+        f = dom.manufacture_rhs(u_star)
+        pre = sub.composite_dd(dom, mk, poly_reduction=2, inner="amg",
+                               fine_mesh=mesh, chain_cache=cache)
+        res = dom.solver(method="fgmres", max_iterations=60,
+                         tolerance=1e-8, precond=pre)(f)
+        return np.asarray(res.residual_history)
+
+    import os
+    h1 = solve()                    # fresh build, writes the cache
+    assert os.path.exists(cache)
+    h2 = solve()                    # loaded build
+    fin = np.isfinite(h1)
+    np.testing.assert_array_equal(h1[fin], h2[fin])
