@@ -162,13 +162,117 @@ def kershaw_transform(eps_y, eps_z, x, y, z=None):
     return x, Y, Z
 
 
-def geometric_factors(coords: np.ndarray, dim: int, poly_degree: int) -> np.ndarray:
+def geometric_factors(coords: np.ndarray, dim: int, poly_degree: int,
+                      chunk: int = 8192) -> np.ndarray:
     """Compute the SEM geometric factors G = w |J| (J^{-1} J^{-T}).
 
     ``coords`` is (E, npe, dim). Returns (E, npe, 3) in 2D or (E, npe, 6)
     in 3D, ordered as the reference's g_1..g_6 (domain.okl:29-49):
     2D [G_rr, G_ss, G_rs]; 3D [G_rr, G_ss, G_tt, G_rs, G_rt, G_st].
+
+    Runs as a single fused XLA kernel in float64, chunked over elements
+    (the host here has ONE core: the numpy form was the dominant mesh-
+    setup cost at production sizes — ~1000 s for Kershaw 64^3; XLA fuses
+    the Jacobian/adjugate arithmetic into one pass). Falls back to the
+    numpy reference implementation if JAX is unavailable.
     """
+    try:
+        return _geometric_factors_xla(coords, dim, poly_degree, chunk)
+    except Exception:                               # pragma: no cover
+        return _geometric_factors_np(coords, dim, poly_degree)
+
+
+def _geometric_factors_xla(coords, dim, poly_degree, chunk):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import enable_x64
+
+    n = poly_degree + 1
+    E = coords.shape[0]
+    ng = 3 if dim == 2 else 6
+    D = diff_matrix(n)
+    _, w = gll_points_weights(n)
+    wq = w
+    for _ in range(dim - 1):
+        wq = np.multiply.outer(w, wq)
+    shape_local = (n,) * dim
+
+    with enable_x64():
+        Dt = jnp.asarray(D.T, dtype=jnp.float64)
+        wq_d = jnp.asarray(wq, dtype=jnp.float64)
+
+        @jax.jit
+        def kernel(X):
+            # X: (C, n[,n[,n]], dim) float64 — same arithmetic order as
+            # the numpy reference (_geometric_factors_np) below
+            def deriv_along(F, axis):
+                G = jnp.tensordot(F, Dt, axes=([axis], [0]))
+                return jnp.moveaxis(G, -1, axis)
+
+            cols = []
+            for a in range(dim):
+                axis = 1 + (dim - 1 - a)
+                cols.append(deriv_along(X, axis))
+            J = jnp.stack(cols, axis=-1)           # (..., d, a)
+            if dim == 2:
+                a_, b_ = J[..., 0, 0], J[..., 0, 1]
+                c_, d_ = J[..., 1, 0], J[..., 1, 1]
+                detJ = a_ * d_ - b_ * c_
+                Jinv = jnp.stack([
+                    jnp.stack([d_, -b_], axis=-1),
+                    jnp.stack([-c_, a_], axis=-1)], axis=-2)
+            else:
+                c00 = J[..., 1, 1] * J[..., 2, 2] - J[..., 1, 2] * J[..., 2, 1]
+                c01 = J[..., 1, 2] * J[..., 2, 0] - J[..., 1, 0] * J[..., 2, 2]
+                c02 = J[..., 1, 0] * J[..., 2, 1] - J[..., 1, 1] * J[..., 2, 0]
+                detJ = (J[..., 0, 0] * c00 + J[..., 0, 1] * c01
+                        + J[..., 0, 2] * c02)
+                r0 = jnp.stack([
+                    c00,
+                    J[..., 0, 2] * J[..., 2, 1] - J[..., 0, 1] * J[..., 2, 2],
+                    J[..., 0, 1] * J[..., 1, 2] - J[..., 0, 2] * J[..., 1, 1],
+                ], axis=-1)
+                r1 = jnp.stack([
+                    c01,
+                    J[..., 0, 0] * J[..., 2, 2] - J[..., 0, 2] * J[..., 2, 0],
+                    J[..., 0, 2] * J[..., 1, 0] - J[..., 0, 0] * J[..., 1, 2],
+                ], axis=-1)
+                r2 = jnp.stack([
+                    c02,
+                    J[..., 0, 1] * J[..., 2, 0] - J[..., 0, 0] * J[..., 2, 1],
+                    J[..., 0, 0] * J[..., 1, 1] - J[..., 0, 1] * J[..., 1, 0],
+                ], axis=-1)
+                Jinv = jnp.stack([r0, r1, r2], axis=-2)
+            Jinv = Jinv / detJ[..., None, None]
+            Gfull = jnp.einsum("...ad,...bd->...ab", Jinv, Jinv,
+                               precision=jax.lax.Precision.HIGHEST)
+            Gfull = Gfull * detJ[..., None, None]
+            Gfull = Gfull * wq_d[None, ..., None, None]
+            if dim == 2:
+                pairs = [(0, 0), (1, 1), (0, 1)]
+            else:
+                pairs = [(0, 0), (1, 1), (2, 2), (0, 1), (0, 2), (1, 2)]
+            g = jnp.stack([Gfull[..., a, b] for a, b in pairs], axis=-1)
+            mass = wq_d[None] * detJ
+            C = X.shape[0]
+            return (g.reshape(C, n ** dim, len(pairs)),
+                    mass.reshape(C, n ** dim))
+
+        g_out = np.empty((E, n ** dim, ng))
+        m_out = np.empty((E, n ** dim))
+        Xall = coords.reshape((E,) + shape_local + (dim,))
+        for s in range(0, E, chunk):
+            e = min(s + chunk, E)
+            gs_, ms_ = kernel(jnp.asarray(Xall[s:e], dtype=jnp.float64))
+            g_out[s:e] = np.asarray(gs_)
+            m_out[s:e] = np.asarray(ms_)
+    return g_out, m_out
+
+
+def _geometric_factors_np(coords: np.ndarray, dim: int,
+                          poly_degree: int) -> np.ndarray:
+    """Numpy reference implementation of :func:`geometric_factors` (kept
+    as the fallback and the cross-check oracle for the XLA kernel)."""
     n = poly_degree + 1
     E = coords.shape[0]
     D = diff_matrix(n)
@@ -279,7 +383,17 @@ def _trilinear_nodes(elem_shape, poly_degree, vertex_transform):
         sel = tuple(emulti[d] + c[d] for d in range(dim))
         corners[(slice(None),) + c] = verts[sel]
 
-    # d-linear blend to GLL nodes, storage order (E, n_z, n_y, n_x, dim)
+    # d-linear blend to GLL nodes, storage order (E, n_z, n_y, n_x, dim);
+    # one fused XLA kernel chunked over elements (single-core host: the
+    # numpy tensordot/transpose chain was a top mesh-setup cost)
+    try:
+        return _blend_corners_xla(corners, blend, dim, n)
+    except Exception:                               # pragma: no cover
+        return _blend_corners_np(corners, blend, dim, n)
+
+
+def _blend_corners_np(corners, blend, dim, n):
+    E = corners.shape[0]
     out = corners
     for d in range(dim):
         # contract corner axis for dimension d with blend along that axis;
@@ -295,6 +409,32 @@ def _trilinear_nodes(elem_shape, poly_degree, vertex_transform):
     else:
         out = np.transpose(out, (0, 4, 3, 2, 1))  # (E, n_z, n_y, n_x, dim)
     return out.reshape(E, n ** dim, dim)
+
+
+def _blend_corners_xla(corners, blend, dim, n, chunk: int = 16384):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import enable_x64
+
+    E = corners.shape[0]
+    with enable_x64():
+        B = jnp.asarray(blend, dtype=jnp.float64)
+
+        @jax.jit
+        def kernel(C):
+            out = C
+            for _ in range(dim):
+                out = jnp.tensordot(out, B, axes=([1], [0]))
+            perm = (0, 3, 2, 1) if dim == 2 else (0, 4, 3, 2, 1)
+            out = jnp.transpose(out, perm)
+            return out.reshape(out.shape[0], n ** dim, dim)
+
+        res = np.empty((E, n ** dim, dim))
+        for s in range(0, E, chunk):
+            e = min(s + chunk, E)
+            res[s:e] = np.asarray(
+                kernel(jnp.asarray(corners[s:e], dtype=jnp.float64)))
+    return res
 
 
 def _build(elem_shape, poly_degree, transform=None, vertex_transform=None) -> GlobalMesh:

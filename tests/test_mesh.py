@@ -112,3 +112,24 @@ def test_partition_boundary_detection_matches_degree_rule():
         is_bd_ref = cnt != counts_global[uniq]
         nb = (sd.bnode_local[p] < sd.num_local_nodes).sum()
         assert nb == is_bd_ref.sum()
+
+
+def test_xla_setup_kernels_match_numpy_reference():
+    # the fused XLA geometry kernels (geometric_factors, corner blend)
+    # must reproduce the numpy reference implementations exactly (they
+    # replaced the single-core numpy forms that dominated mesh setup at
+    # production sizes — the domain.tpp:44-231 setup role)
+    mesh = mg.kershaw_mesh((3, 4, 5), 4, epsilon=0.3)
+    g_np, m_np = mg._geometric_factors_np(mesh.coords, 3, 4)
+    np.testing.assert_allclose(mesh.geom, g_np, rtol=1e-13, atol=1e-15)
+    np.testing.assert_allclose(mesh.mass, m_np, rtol=1e-13, atol=1e-15)
+
+    orig = mg._blend_corners_xla
+    mg._blend_corners_xla = lambda *a, **k: (_ for _ in ()).throw(
+        RuntimeError("force numpy"))
+    try:
+        mesh_np = mg.kershaw_mesh((3, 4, 5), 4, epsilon=0.3)
+    finally:
+        mg._blend_corners_xla = orig
+    np.testing.assert_allclose(mesh.coords, mesh_np.coords,
+                               rtol=1e-14, atol=1e-15)
