@@ -163,29 +163,49 @@ def kershaw_transform(eps_y, eps_z, x, y, z=None):
 
 
 def geometric_factors(coords: np.ndarray, dim: int, poly_degree: int,
-                      chunk: int = 8192) -> np.ndarray:
+                      chunk: int = 8192) -> tuple[np.ndarray, np.ndarray]:
     """Compute the SEM geometric factors G = w |J| (J^{-1} J^{-T}).
 
-    ``coords`` is (E, npe, dim). Returns (E, npe, 3) in 2D or (E, npe, 6)
-    in 3D, ordered as the reference's g_1..g_6 (domain.okl:29-49):
-    2D [G_rr, G_ss, G_rs]; 3D [G_rr, G_ss, G_tt, G_rs, G_rt, G_st].
+    ``coords`` is (E, npe, dim). Returns ``(geom, mass)``: geom is
+    (E, npe, 3) in 2D or (E, npe, 6) in 3D, ordered as the reference's
+    g_1..g_6 (domain.okl:29-49): 2D [G_rr, G_ss, G_rs]; 3D [G_rr, G_ss,
+    G_tt, G_rs, G_rt, G_st]; mass is the (E, npe) lumped mass w |J|.
 
     Runs as a single fused XLA kernel in float64, chunked over elements
     (the host here has ONE core: the numpy form was the dominant mesh-
     setup cost at production sizes — ~1000 s for Kershaw 64^3; XLA fuses
-    the Jacobian/adjugate arithmetic into one pass). Falls back to the
-    numpy reference implementation if JAX is unavailable.
+    the Jacobian/adjugate arithmetic into one pass). The kernel is pinned
+    to the CPU backend: setup needs f64, which the TPU-class default
+    device does not compile. Falls back to the numpy reference
+    implementation only if JAX is unavailable.
     """
     try:
         return _geometric_factors_xla(coords, dim, poly_degree, chunk)
-    except Exception:                               # pragma: no cover
+    except ImportError:                             # pragma: no cover
+        import warnings
+        warnings.warn("JAX unavailable: mesh setup falling back to the "
+                      "slow numpy geometric-factors path")
         return _geometric_factors_np(coords, dim, poly_degree)
+
+
+def _cpu_x64():
+    """f64 on the CPU backend: setup kernels need double precision and
+    the TPU-class default device does not support it (ADVICE r2)."""
+    import contextlib
+    import jax
+    stack = contextlib.ExitStack()
+    stack.enter_context(jax.enable_x64(True))
+    # local_devices, not devices: under jax.distributed the global list
+    # starts with process 0's devices, and pinning another process's
+    # setup to a non-addressable device deadlocks the gloo handshake
+    stack.enter_context(jax.default_device(
+        jax.local_devices(backend="cpu")[0]))
+    return stack
 
 
 def _geometric_factors_xla(coords, dim, poly_degree, chunk):
     import jax
     import jax.numpy as jnp
-    from jax.experimental import enable_x64
 
     n = poly_degree + 1
     E = coords.shape[0]
@@ -197,7 +217,7 @@ def _geometric_factors_xla(coords, dim, poly_degree, chunk):
         wq = np.multiply.outer(w, wq)
     shape_local = (n,) * dim
 
-    with enable_x64():
+    with _cpu_x64():
         Dt = jnp.asarray(D.T, dtype=jnp.float64)
         wq_d = jnp.asarray(wq, dtype=jnp.float64)
 
@@ -206,7 +226,8 @@ def _geometric_factors_xla(coords, dim, poly_degree, chunk):
             # X: (C, n[,n[,n]], dim) float64 — same arithmetic order as
             # the numpy reference (_geometric_factors_np) below
             def deriv_along(F, axis):
-                G = jnp.tensordot(F, Dt, axes=([axis], [0]))
+                G = jnp.tensordot(F, Dt, axes=([axis], [0]),
+                                  precision=jax.lax.Precision.HIGHEST)
                 return jnp.moveaxis(G, -1, axis)
 
             cols = []
@@ -388,7 +409,10 @@ def _trilinear_nodes(elem_shape, poly_degree, vertex_transform):
     # numpy tensordot/transpose chain was a top mesh-setup cost)
     try:
         return _blend_corners_xla(corners, blend, dim, n)
-    except Exception:                               # pragma: no cover
+    except ImportError:                             # pragma: no cover
+        import warnings
+        warnings.warn("JAX unavailable: mesh setup falling back to the "
+                      "slow numpy corner-blend path")
         return _blend_corners_np(corners, blend, dim, n)
 
 
@@ -414,17 +438,17 @@ def _blend_corners_np(corners, blend, dim, n):
 def _blend_corners_xla(corners, blend, dim, n, chunk: int = 16384):
     import jax
     import jax.numpy as jnp
-    from jax.experimental import enable_x64
 
     E = corners.shape[0]
-    with enable_x64():
+    with _cpu_x64():
         B = jnp.asarray(blend, dtype=jnp.float64)
 
         @jax.jit
         def kernel(C):
             out = C
             for _ in range(dim):
-                out = jnp.tensordot(out, B, axes=([1], [0]))
+                out = jnp.tensordot(out, B, axes=([1], [0]),
+                                    precision=jax.lax.Precision.HIGHEST)
             perm = (0, 3, 2, 1) if dim == 2 else (0, 4, 3, 2, 1)
             out = jnp.transpose(out, perm)
             return out.reshape(out.shape[0], n ** dim, dim)

@@ -118,18 +118,24 @@ def test_xla_setup_kernels_match_numpy_reference():
     # the fused XLA geometry kernels (geometric_factors, corner blend)
     # must reproduce the numpy reference implementations exactly (they
     # replaced the single-core numpy forms that dominated mesh setup at
-    # production sizes — the domain.tpp:44-231 setup role)
+    # production sizes — the domain.tpp:44-231 setup role). Call the XLA
+    # kernels DIRECTLY so an import/compile failure fails the test rather
+    # than silently exercising the numpy fallback twice (ADVICE r2).
     mesh = mg.kershaw_mesh((3, 4, 5), 4, epsilon=0.3)
+    g_xla, m_xla = mg._geometric_factors_xla(mesh.coords, 3, 4, chunk=17)
+    assert np.asarray(g_xla).dtype == np.float64
     g_np, m_np = mg._geometric_factors_np(mesh.coords, 3, 4)
-    np.testing.assert_allclose(mesh.geom, g_np, rtol=1e-13, atol=1e-15)
-    np.testing.assert_allclose(mesh.mass, m_np, rtol=1e-13, atol=1e-15)
+    np.testing.assert_allclose(g_xla, g_np, rtol=1e-13, atol=1e-15)
+    np.testing.assert_allclose(m_xla, m_np, rtol=1e-13, atol=1e-15)
 
-    orig = mg._blend_corners_xla
-    mg._blend_corners_xla = lambda *a, **k: (_ for _ in ()).throw(
-        RuntimeError("force numpy"))
-    try:
-        mesh_np = mg.kershaw_mesh((3, 4, 5), 4, epsilon=0.3)
-    finally:
-        mg._blend_corners_xla = orig
-    np.testing.assert_allclose(mesh.coords, mesh_np.coords,
-                               rtol=1e-14, atol=1e-15)
+    # corner blend: drive both implementations on the same corner array
+    n = 5
+    rng = np.random.default_rng(7)
+    corners = rng.standard_normal((11, 2, 2, 2, 3))
+    from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.utils.gll import gll_points_weights
+    r, _ = gll_points_weights(n)
+    t = (r + 1.0) / 2.0
+    blend = np.stack([1.0 - t, t], axis=0)
+    c_xla = mg._blend_corners_xla(corners, blend, 3, n, chunk=4)
+    c_np = mg._blend_corners_np(corners, blend, 3, n)
+    np.testing.assert_allclose(c_xla, c_np, rtol=1e-14, atol=1e-15)
