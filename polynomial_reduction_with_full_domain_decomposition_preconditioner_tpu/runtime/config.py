@@ -20,7 +20,10 @@ __all__ = ["Config"]
 @dataclass
 class Config:
     # ---- problem (the reference CLI, poisson.cpp:63-68) ----
-    mesh: str = "kershaw"              # kershaw | box | pebble
+    mesh: str = "kershaw"              # kershaw | box | pebble | nek
+    nek_dir: str | None = None         # mesh="nek": directory of Nek5000
+    #   per-rank exports (lx1_<n>/*.dat, the reference's <directory> CLI
+    #   arg, poisson.cpp:63; mesh/nek.py reads it)
     shape: tuple = (8, 8, 8)           # element grid (mx, my[, mz])
     epsilon: float = 0.3               # Kershaw distortion (run.py:24-49)
     num_pebbles: int = 16              # pebble mesh: sphere count (the
@@ -126,7 +129,10 @@ class Config:
         p.add_argument("superdomain_overlap", type=int, nargs="?",
                        default=d.superdomain_overlap)
         p.add_argument("--mesh", default=d.mesh,
-                       choices=["kershaw", "box", "pebble"])
+                       choices=["kershaw", "box", "pebble", "nek"])
+        p.add_argument("--nek-dir", default=None,
+                       help="mesh=nek: Nek5000 export directory "
+                            "(lx1_<n>/*.dat per-rank dumps)")
         p.add_argument("--shape", default=",".join(map(str, d.shape)))
         p.add_argument("--epsilon", type=float, default=d.epsilon)
         p.add_argument("--num-pebbles", type=int, default=d.num_pebbles)
@@ -171,7 +177,8 @@ class Config:
                             "preconditioner hierarchy)")
         a = p.parse_args(argv)
         return cls(
-            mesh=a.mesh, shape=tuple(int(x) for x in a.shape.split(",")),
+            mesh=a.mesh, nek_dir=a.nek_dir,
+            shape=tuple(int(x) for x in a.shape.split(",")),
             epsilon=a.epsilon, scramble=a.scramble,
             num_pebbles=a.num_pebbles, solid_fraction=a.solid_fraction,
             mesh_seed=a.mesh_seed,

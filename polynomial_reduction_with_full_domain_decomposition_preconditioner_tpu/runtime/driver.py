@@ -26,7 +26,14 @@ def _build_domain(cfg: Config, device_mesh=None):
     from ..mesh.partition import partition_mesh
     from ..solvers.domain import Domain
 
-    if cfg.mesh == "kershaw":
+    if cfg.mesh == "nek":
+        # the reference's own input path: per-rank Nek5000 export dumps
+        # (poisson.cpp:63 <directory> arg; domain.tpp:44-231 reader)
+        from ..mesh.nek import nek_mesh_builder
+        if not cfg.nek_dir:
+            raise ValueError("--mesh nek requires --nek-dir")
+        builder = nek_mesh_builder(cfg.nek_dir)
+    elif cfg.mesh == "kershaw":
         builder = partial(mg.kershaw_mesh, cfg.shape, epsilon=cfg.epsilon)
     elif cfg.mesh == "pebble":
         from ..mesh.pebble import pebble_mesh
