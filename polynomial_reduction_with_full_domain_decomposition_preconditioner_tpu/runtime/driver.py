@@ -112,10 +112,32 @@ def _build_preconditioner(cfg: Config, dom, mesh_builder, fine_mesh=None):
     return None
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache: the one-jit production solves are
+    large programs (minutes of compile on CPU for the unstructured
+    composite); repeat CLI invocations must not pay that again. Same
+    mechanism bench.py uses (the reference's OCCA kernel cache role,
+    domain.tpp:342-370 — without its rank0-compiles-first FS race)."""
+    import os
+    import jax
+    cache = os.environ.get(
+        "PRFDDP_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache",
+                     "polynomial_reduction_with_full_domain_"
+                     "decomposition_preconditioner_tpu", "xla"))
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:                                # pragma: no cover
+        pass
+
+
 def run_simulation(cfg: Config, out=sys.stdout) -> dict:
     """Run one configured solve; returns a structured result record."""
     import jax
 
+    _enable_compile_cache()
     timer = Timer()
     timer.initialize()
 
