@@ -29,7 +29,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["lattice_face_sum_3d"]
+__all__ = ["lattice_face_sum_3d", "stiffness_lattice_3d",
+           "stiffness_lattice_3d_supported"]
 
 
 def _masks_1d(M: int, n: int, gstart, length, axis_dim, shape, dtype):
@@ -126,3 +127,121 @@ def lattice_face_sum_3d(U, n: int):
         out_specs=pl.BlockSpec((cz, my, mx), main_idx,
                                memory_space=pltpu.VMEM),
     )(U, U, U)
+
+
+# ---------------------------------------------------------------------------
+# Fused SEM stiffness apply (the hot kernel, domain.okl:5-98 equivalent)
+# ---------------------------------------------------------------------------
+#
+# The XLA lattice apply (ops/sem.stiffness_apply_lattice) is 6 separate
+# MXU contractions with elementwise combines between them; XLA fuses the
+# elementwise work into the matmuls but still materializes the Dr/Ds/Dt
+# and Wr/Ws/Wt intermediates in HBM — measured 70-73% of the memory
+# roofline at 2.1M points. This kernel performs the WHOLE apply per
+# (n, 128, 128) block inside VMEM: the only HBM traffic is the 8 operand
+# fields in and Au out (u + 6 geometric factors + result = the
+# information-theoretic minimum of 32 B/point in f32).
+#
+# Blocks are element-aligned (n | 128 and the z-block equals one element
+# layer), so every derivative contraction is block-local: the r/s
+# contractions multiply by kron(I_{128/n}, D) exactly like ops/sem.dmul
+# (bitwise-equal zero structure), and the t contraction unrolls over the
+# n in-block z-planes with scalar D weights baked in at trace time.
+
+
+def _stiffness_kernel(u_ref, g0, g1, g2, g3, g4, g5, db_ref, dbt_ref,
+                      out_ref, *, n, D_np):
+    f32 = jnp.float32
+    U = u_ref[...].astype(f32)               # (n, 128, 128)
+    Db = db_ref[...]                          # kron(I, D)   (128, 128)
+    Dbt = dbt_ref[...]                        # Db.T         (128, 128)
+    hi = jax.lax.Precision.HIGHEST
+
+    def mm(a, b):
+        return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                   precision=hi,
+                                   preferred_element_type=f32)
+
+    # per-z-slice r/s derivatives (x = lane axis, y = sublane axis)
+    Dr = [mm(U[z], Dbt) for z in range(n)]    # U_z @ Db.T
+    Ds = [mm(Db, U[z]) for z in range(n)]     # Db @ U_z
+    # t derivative: unrolled scalar-weighted sums over in-block planes
+    Dt = [sum(float(D_np[z, k]) * U[k] for k in range(n)) for z in range(n)]
+
+    G0 = g0[...].astype(f32)
+    G1 = g1[...].astype(f32)
+    G2 = g2[...].astype(f32)
+    G3 = g3[...].astype(f32)
+    G4 = g4[...].astype(f32)
+    G5 = g5[...].astype(f32)
+
+    Au = []
+    Wt = []
+    for z in range(n):
+        wr = G0[z] * Dr[z] + G3[z] * Ds[z] + G4[z] * Dt[z]
+        ws = G3[z] * Dr[z] + G1[z] * Ds[z] + G5[z] * Dt[z]
+        Wt.append(G4[z] * Dr[z] + G5[z] * Ds[z] + G2[z] * Dt[z])
+        # transposed r/s contractions: sum_k Db[k, i] W[..., k] etc.
+        Au.append(mm(wr, Db) + mm(Dbt, ws))
+    for z in range(n):
+        Au[z] = Au[z] + sum(float(D_np[k, z]) * Wt[k] for k in range(n))
+
+    out_ref[...] = jnp.stack(Au, axis=0).astype(out_ref.dtype)
+
+
+def stiffness_lattice_3d_supported(shape, n: int, dtype) -> bool:
+    """The fused kernel covers the production regime: 3-D lattices with
+    128-aligned y/x extents, n | 128, f32/bf16. Everything else uses the
+    XLA path (ops/sem.stiffness_apply_lattice).
+
+    Measured (1x v5e, artifacts/bench_pallas_stiffness.py): f32 878 vs
+    408 GB/s at 128^3 and 530 vs 90 at (128,512,512) — the XLA einsum
+    path collapses at wide planes, which dominated the 64^3 solve; bf16
+    416 vs 100 GB/s at wide planes. The one regime where XLA wins is
+    bf16 on small planes (543 vs 444 at 128^2), kept on the XLA path."""
+    if len(shape) != 3 or 128 % n != 0:
+        return False
+    mz, my, mx = shape
+    if mz % n != 0 or my % 128 != 0 or mx % 128 != 0:
+        return False
+    if dtype not in (jnp.float32, jnp.bfloat16):
+        return False
+    if dtype == jnp.bfloat16 and my * mx <= 128 * 128:
+        return False
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:                            # pragma: no cover
+        return False
+
+
+def stiffness_lattice_3d(U, G, Db, Dbt, n: int, D_np=None,
+                         interpret: bool = False):
+    """One-pass fused SEM stiffness apply on a (Mz, My, Mx) lattice.
+
+    G is the tuple of 6 per-factor lattices (G_rr, G_ss, G_tt, G_rs,
+    G_rt, G_st); Db = kron(I_{128//n}, D) and Dbt = Db.T as (128, 128)
+    f32 arrays; D_np the raw (n, n) HOST numpy differentiation matrix —
+    its values are baked into the kernel as trace-time scalar weights
+    (so it must not be a tracer; callers jit around this function).
+    ``interpret`` runs the kernel in Pallas interpret mode (CPU tests).
+    """
+    mz, my, mx = U.shape
+    grid = (mz // n, my // 128, mx // 128)
+    z0 = np.int32(0)
+
+    def fidx(c, j, i):
+        return (c.astype(np.int32), j.astype(np.int32), i.astype(np.int32))
+
+    def didx(c, j, i):
+        return (z0, z0)
+
+    blk = pl.BlockSpec((n, 128, 128), fidx, memory_space=pltpu.VMEM)
+    dblk = pl.BlockSpec((128, 128), didx, memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        partial(_stiffness_kernel, n=n, D_np=np.asarray(D_np)),
+        out_shape=jax.ShapeDtypeStruct(U.shape, U.dtype),
+        grid=grid,
+        in_specs=[blk] * 7 + [dblk, dblk],
+        out_specs=blk,
+        interpret=interpret,
+    )(U, *G, Db, Dbt)

@@ -195,6 +195,26 @@ def dmul(D, U, axis: int, n: int):
 _dmul = dmul   # internal alias (square-D callers)
 
 
+import os as _os
+
+_PALLAS_STIFFNESS = _os.environ.get("PRFDDP_PALLAS_STIFFNESS", "1") != "0"
+
+
+def _pallas_lattice_consts(n: int, f32):
+    """(Db, Dbt, D_np) for the fused Pallas apply: kron(I_{128/n}, D) as
+    f32 jnp constants + the host f64 differentiation matrix (cached)."""
+    import numpy as np
+    from ..utils.gll import diff_matrix
+    key = (n,)
+    cache = _pallas_lattice_consts.__dict__.setdefault("cache", {})
+    if key not in cache:
+        D64 = np.asarray(diff_matrix(n))
+        Db_np = np.kron(np.eye(128 // n), D64).astype(np.float32)
+        cache[key] = (Db_np, Db_np.T.copy(), D64)
+    Db_np, Dbt_np, D64 = cache[key]
+    return jnp.asarray(Db_np, f32), jnp.asarray(Dbt_np, f32), D64
+
+
 def stiffness_apply_lattice(U, G, D, dim: int):
     """SEM stiffness apply on point-lattice fields.
 
@@ -205,8 +225,20 @@ def stiffness_apply_lattice(U, G, D, dim: int):
     separate buffers — artifacts A/B 141/148/174 us); D: (n, n). Same
     math as stiffness_apply (domain.okl:5-98) in the lattice layout —
     avoids the element<->lattice transposes in the hot path.
+
+    On TPU with 128-aligned lattices the whole apply runs as ONE fused
+    Pallas kernel (ops/pallas_kernels.stiffness_lattice_3d): a single
+    HBM pass over the 8 operand fields instead of XLA's materialized
+    Dr/Ds/Dt/W intermediates (disable with PRFDDP_PALLAS_STIFFNESS=0).
     """
     n = D.shape[0]
+    if (_PALLAS_STIFFNESS and dim == 3 and isinstance(G, (tuple, list))
+            and len(G) == 6 and D.shape[0] == D.shape[1]):
+        from .pallas_kernels import (stiffness_lattice_3d,
+                                     stiffness_lattice_3d_supported)
+        if stiffness_lattice_3d_supported(U.shape, n, U.dtype):
+            Db, Dbt, D_np = _pallas_lattice_consts(n, jnp.float32)
+            return stiffness_lattice_3d(U, tuple(G), Db, Dbt, n, D_np)
     Dt = D.T
     if dim == 2:
         Dr = _dmul(D, U, 1, n)
