@@ -197,16 +197,18 @@ def stiffness_lattice_3d_supported(shape, n: int, dtype) -> bool:
     Measured (1x v5e, artifacts/bench_pallas_stiffness.py): f32 878 vs
     408 GB/s at 128^3 and 530 vs 90 at (128,512,512) — the XLA einsum
     path collapses at wide planes, which dominated the 64^3 solve; bf16
-    416 vs 100 GB/s at wide planes. The one regime where XLA wins is
-    bf16 on small planes (543 vs 444 at 128^2), kept on the XLA path."""
+    416 vs 100 GB/s at wide planes. bf16 on 128^2 planes is the one
+    shape where XLA is nominally faster (543 vs 444 GB/s), but the
+    kernel's f32 accumulation (no bf16-rounded Dr/Ds/W intermediates)
+    buys a sharper preconditioner — net faster END-TO-END even there
+    (16^3 bench 0.0497 vs 0.0515 s), so the kernel is used whenever the
+    shape supports it."""
     if len(shape) != 3 or 128 % n != 0:
         return False
     mz, my, mx = shape
     if mz % n != 0 or my % 128 != 0 or mx % 128 != 0:
         return False
     if dtype not in (jnp.float32, jnp.bfloat16):
-        return False
-    if dtype == jnp.bfloat16 and my * mx <= 128 * 128:
         return False
     try:
         return jax.devices()[0].platform in ("tpu", "axon")
