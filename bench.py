@@ -108,7 +108,11 @@ def main():
             return out.ravel()[0]
         return op_chain
 
-    dt = timed_jit_chain(make_op, dom.arrays, u, iters=CHAIN)
+    # longer chain than the roofline's: one apply is ~76 us, and the
+    # tunnel's ~ms dispatch jitter must stay small against the timed
+    # difference (a 50-apply chain once measured 41 us/apply = 247% of
+    # the roofline — an artifact, not a kernel speed)
+    dt = timed_jit_chain(make_op, dom.arrays, u, iters=4 * CHAIN)
     npts = mesh.num_points
     bytes_moved = npts * 4 * (1 + 6 + 1)  # u + 6 geom + Au, f32
     n = N + 1

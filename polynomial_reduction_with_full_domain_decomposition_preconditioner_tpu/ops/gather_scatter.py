@@ -186,6 +186,15 @@ def structured_dssum(U, *, n: int, dim: int, mask,
     field is zero at pad points (mask/weight are zero there, so outputs
     preserve it).
     """
+    if axis_name is None and _use_pallas_face_sum(U):
+        # single-shard: no slab exchange between the face sum and the
+        # mask/weight multiplies, so they fuse into the one-pass kernel
+        # (each separate multiply costs a full extra read+write pass)
+        from .pallas_kernels import lattice_face_sum_3d
+        return lattice_face_sum_3d(
+            U, n,
+            mask=mask if apply_mask else None,
+            weight=inv_degree_pts if apply_weight else None)
     U = lattice_face_sum(U, n)
     U = slab_exchange_add(U, axis_name, top_plane=top_plane)
     if apply_weight:

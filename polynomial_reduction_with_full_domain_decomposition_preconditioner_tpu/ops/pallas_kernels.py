@@ -45,7 +45,16 @@ def _masks_1d(M: int, n: int, gstart, length, axis_dim, shape, dtype):
     return hi, lo
 
 
-def _face_sum_kernel(u_ref, prev_ref, next_ref, out_ref, *, n, mz, cz):
+def _face_sum_kernel(u_ref, prev_ref, next_ref, *rest, n, mz, cz,
+                     has_mask=False, has_weight=False):
+    # rest = [weight_ref][mask_ref] out_ref — optional fused pointwise
+    # multiplies after the summation (the dssum mask/inv-degree factors:
+    # a separate XLA multiply costs another full read+write pass over
+    # the field, ~40% of the dssum time at 512^2 planes)
+    rest = list(rest)
+    out_ref = rest.pop()
+    mask_ref = rest.pop() if has_mask else None
+    weight_ref = rest.pop() if has_weight else None
     c = pl.program_id(0)
     # compute in f32: Mosaic's vector rotate is 32-bit only, and the
     # accumulation is more accurate; HBM traffic stays in the I/O dtype
@@ -82,12 +91,24 @@ def _face_sum_kernel(u_ref, prev_ref, next_ref, out_ref, *, n, mz, cz):
         W_up, W_dn = Wn, Wp
     gz = c * cz
     hiz, loz = _masks_1d(mz, n, gz, cz, 0, W.shape, dtype)
-    out_ref[...] = (W + hiz * W_up + loz * W_dn).astype(out_ref.dtype)
+    R = W + hiz * W_up + loz * W_dn
+    if has_weight:
+        R = R * weight_ref[...].astype(dtype)
+    if has_mask:
+        R = R * mask_ref[...].astype(dtype)
+    out_ref[...] = R.astype(out_ref.dtype)
 
 
 @partial(jax.jit, static_argnames=("n",))
-def lattice_face_sum_3d(U, n: int):
-    """One-pass fused face summation on a 3-D lattice (Mz, My, Mx)."""
+def lattice_face_sum_3d(U, n: int, mask=None, weight=None):
+    """One-pass fused face summation on a 3-D lattice (Mz, My, Mx).
+
+    mask / weight: optional same-shape factors multiplied into the
+    result IN the kernel (dssum's Dirichlet mask and inverse-degree
+    weight) — each saves a full separate read+write pass over the field
+    (~40% of the assembled-dssum time at 512^2 planes). Multiplication
+    happens in f32 before the output cast, which is exact for the 0/1
+    mask and matches the XLA path's f32 arithmetic for f32 fields."""
     mz, my, mx = U.shape
     # z chunk: largest divisor of mz not exceeding the VMEM budget.
     # Scoped VMEM is 16 MB and the kernel holds ~10 chunk-sized f32
@@ -115,18 +136,28 @@ def lattice_face_sum_3d(U, n: int):
     def next_idx(c):
         return (jnp.minimum((c + 1) * cz, mz - 1).astype(np.int32), z0, z0)
 
+    main_blk = pl.BlockSpec((cz, my, mx), main_idx,
+                            memory_space=pltpu.VMEM)
+    in_specs = [
+        main_blk,
+        pl.BlockSpec((1, my, mx), prev_idx, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, my, mx), next_idx, memory_space=pltpu.VMEM),
+    ]
+    operands = [U, U, U]
+    if weight is not None:
+        in_specs.append(main_blk)
+        operands.append(weight)
+    if mask is not None:
+        in_specs.append(main_blk)
+        operands.append(mask)
     return pl.pallas_call(
-        partial(_face_sum_kernel, n=n, mz=mz, cz=cz),
+        partial(_face_sum_kernel, n=n, mz=mz, cz=cz,
+                has_mask=mask is not None, has_weight=weight is not None),
         out_shape=jax.ShapeDtypeStruct(U.shape, U.dtype),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((cz, my, mx), main_idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, my, mx), prev_idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, my, mx), next_idx, memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((cz, my, mx), main_idx,
-                               memory_space=pltpu.VMEM),
-    )(U, U, U)
+        in_specs=in_specs,
+        out_specs=main_blk,
+    )(*operands)
 
 
 # ---------------------------------------------------------------------------
@@ -149,22 +180,67 @@ def lattice_face_sum_3d(U, n: int):
 # n in-block z-planes with scalar D weights baked in at trace time.
 
 
+def _bf16_split(x):
+    """x (f32) as a bf16 (hi, lo) pair with x ~= hi + lo."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
 def _stiffness_kernel(u_ref, g0, g1, g2, g3, g4, g5, db_ref, dbt_ref,
                       out_ref, *, n, D_np):
     f32 = jnp.float32
-    U = u_ref[...].astype(f32)               # (n, 128, 128)
+    bf16_io = u_ref.dtype == jnp.bfloat16
     Db = db_ref[...]                          # kron(I, D)   (128, 128)
     Dbt = dbt_ref[...]                        # Db.T         (128, 128)
     hi = jax.lax.Precision.HIGHEST
+    dims = (((1,), (0,)), ((), ()))
 
-    def mm(a, b):
-        return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
-                                   precision=hi,
-                                   preferred_element_type=f32)
+    if bf16_io:
+        # MXU-bound regime (measured 5.3 -> 4.1 ms at 512^3): Mosaic
+        # lowers f32xf32 HIGHEST dots to 6 bf16 MXU passes. The inputs
+        # are exactly bf16 here, so U @ D = U @ D_hi + U @ D_lo is
+        # EXACT to f32 accumulation in 2 passes (D split once per
+        # block); the f32 W intermediates use the bf16x3 split (lo x lo
+        # term ~2^-16, far below the bf16 output rounding) — NO extra
+        # intermediate rounding, which the bf16 preconditioner's
+        # quality depends on (BASELINE.md round-3 note).
+        Db_hi, Db_lo = _bf16_split(Db)
+        Dbt_hi, Dbt_lo = _bf16_split(Dbt)
 
-    # per-z-slice r/s derivatives (x = lane axis, y = sublane axis)
-    Dr = [mm(U[z], Dbt) for z in range(n)]    # U_z @ Db.T
-    Ds = [mm(Db, U[z]) for z in range(n)]     # Db @ U_z
+        def dg(a, b):
+            return jax.lax.dot_general(a, b, dims,
+                                       preferred_element_type=f32)
+
+        def mmA(w):                           # f32 w @ Db   (bf16x3)
+            w_hi, w_lo = _bf16_split(w)
+            return dg(w_hi, Db_hi) + dg(w_hi, Db_lo) + dg(w_lo, Db_hi)
+
+        def mmB(w):                           # Dbt @ f32 w  (bf16x3)
+            w_hi, w_lo = _bf16_split(w)
+            return dg(Dbt_hi, w_hi) + dg(Dbt_lo, w_hi) + dg(Dbt_hi, w_lo)
+
+        Ub = u_ref[...]                       # (n, 128, 128) bf16
+        U = Ub.astype(f32)
+        # exactly-bf16 inputs: 2-pass exact contractions
+        Dr = [dg(Ub[z], Dbt_hi) + dg(Ub[z], Dbt_lo) for z in range(n)]
+        Ds = [dg(Db_hi, Ub[z]) + dg(Db_lo, Ub[z]) for z in range(n)]
+    else:
+        U = u_ref[...].astype(f32)            # (n, 128, 128)
+
+        def mm(a, b):
+            return jax.lax.dot_general(a, b, dims, precision=hi,
+                                       preferred_element_type=f32)
+
+        def mmA(w):
+            return mm(w, Db)
+
+        def mmB(w):
+            return mm(Dbt, w)
+
+        # per-z-slice r/s derivatives (x = lane axis, y = sublane axis)
+        Dr = [mm(U[z], Dbt) for z in range(n)]    # U_z @ Db.T
+        Ds = [mm(Db, U[z]) for z in range(n)]     # Db @ U_z
     # t derivative: unrolled scalar-weighted sums over in-block planes
     Dt = [sum(float(D_np[z, k]) * U[k] for k in range(n)) for z in range(n)]
 
@@ -182,7 +258,7 @@ def _stiffness_kernel(u_ref, g0, g1, g2, g3, g4, g5, db_ref, dbt_ref,
         ws = G3[z] * Dr[z] + G1[z] * Ds[z] + G5[z] * Dt[z]
         Wt.append(G4[z] * Dr[z] + G5[z] * Ds[z] + G2[z] * Dt[z])
         # transposed r/s contractions: sum_k Db[k, i] W[..., k] etc.
-        Au.append(mm(wr, Db) + mm(Dbt, ws))
+        Au.append(mmA(wr) + mmB(ws))
     for z in range(n):
         Au[z] = Au[z] + sum(float(D_np[k, z]) * Wt[k] for k in range(n))
 

@@ -65,6 +65,10 @@ class Config:
     #   none  (reference production = composite Subdomain)
     inner_iterations: int = 4          # num_vectors=max_iterations=4
     inner: str = "amg"                 # composite inner: amg|jacobi|none
+    inner_solver: str = "fgmres"       # fgmres | fcg — the composite
+    #   solve's Krylov method (the reference dispatches it by the same
+    #   preconditioner_type as the outer solver, domain.tpp:637-646;
+    #   FCG inner: subdomain.tpp:4161-4268)
     num_vcycles: int = 1
     cheby_order: int = 2
     max_coarse: int = 600              # dense coarse-solve threshold
@@ -160,6 +164,11 @@ class Config:
                        choices=["amg", "fem-amg", "jacobi", "none"])
         p.add_argument("--inner-iterations", type=int,
                        default=d.inner_iterations)
+        p.add_argument("--inner-solver", default=d.inner_solver,
+                       choices=["fgmres", "fcg"],
+                       help="composite-solve Krylov method (the reference "
+                            "dispatches FCG/GMRES inner by the outer "
+                            "preconditioner_type, domain.tpp:637-646)")
         p.add_argument("--num-vcycles", type=int, default=d.num_vcycles)
         p.add_argument("--cheby-order", type=int, default=d.cheby_order)
         p.add_argument("--max-coarse", type=int, default=d.max_coarse)
@@ -191,6 +200,7 @@ class Config:
             tolerance=a.tolerance, refine_tolerance=a.refine_tolerance,
             preconditioner=a.preconditioner,
             inner=a.inner, inner_iterations=a.inner_iterations,
+            inner_solver=a.inner_solver,
             num_vcycles=a.num_vcycles, cheby_order=a.cheby_order,
             max_coarse=a.max_coarse,
             far_coarsen=(a.far_coarsen if a.far_coarsen == "auto"

@@ -100,6 +100,7 @@ def _build_preconditioner(cfg: Config, dom, mesh_builder, fine_mesh=None):
             subdomain_overlap=cfg.subdomain_overlap,
             superdomain_overlap=cfg.superdomain_overlap,
             num_iterations=cfg.inner_iterations, inner=cfg.inner,
+            inner_solver=cfg.inner_solver,
             num_vcycles=cfg.num_vcycles, cheby_order=cfg.cheby_order,
             ptype=cfg.ptype_dtype(), max_coarse=cfg.max_coarse,
             far_coarsen=cfg.far_coarsen, fine_mesh=fine_mesh,

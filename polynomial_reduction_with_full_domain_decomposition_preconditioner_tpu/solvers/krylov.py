@@ -174,7 +174,11 @@ def fcg(operator, precond, dssum_plain, dot, dot2, f, *,
     z0 = precond(r0)
     p0 = z0
 
-    hist0 = jnp.full((max_iterations + 1,), jnp.nan, dtype=dtype)
+    # vma seed: when dot is rank-local (the composite inner solve under
+    # shard_map) every scalar in the iteration is shard-varying; the
+    # while_loop carry types must match from iteration 0 (see fgmres)
+    seed = r0_norm * 0.0
+    hist0 = jnp.full((max_iterations + 1,), jnp.nan, dtype=dtype) + seed
     hist0 = hist0.at[0].set(r0_norm)
 
     tol = jnp.asarray(tolerance, dtype=dtype)
@@ -206,7 +210,7 @@ def fcg(operator, precond, dssum_plain, dot, dot2, f, *,
         # freeze state if converged this step (values unused afterwards)
         return (u, r_new, z_new, p_new, gamma, it + 1, now_done, hist)
 
-    state = (u0, r0, z0, p0, jnp.asarray(1.0, dtype),
+    state = (u0, r0, z0, p0, jnp.asarray(1.0, dtype) + seed,
              jnp.asarray(0, jnp.int32), r0_norm < target, hist0)
     u, r, _, _, _, it, done, hist = jax.lax.while_loop(cond, body, state)
     last = hist[it]

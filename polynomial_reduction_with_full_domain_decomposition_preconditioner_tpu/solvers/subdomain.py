@@ -211,6 +211,7 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
                  superdomain_overlap: int = 1,
                  num_iterations: int = 4,
                  inner: str = "amg",
+                 inner_solver: str = "fgmres",
                  num_vcycles: int = 1,
                  cheby_order: int = 2,
                  ptype=None,
@@ -231,6 +232,13 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
       overlap between the subdomain fringe and the compressed
       superdomain, subdomain.tpp:1860-1992). No effect at far_coarsen=1.
     num_iterations: fixed inner FGMRES iterations (subdomain.hpp:229-230).
+    inner_solver: "fgmres" (subdomain.tpp:4309-4489) or "fcg"
+      (subdomain.tpp:4161-4268) — the reference dispatches the composite
+      solve by the same preconditioner_type flag as the outer solver
+      (domain.tpp:637-646). FCG skips the Arnoldi basis storage and
+      Gram-Schmidt contractions (one dssum + two fused dots per
+      iteration), at the cost of assuming effective SPD-ness of the
+      composite operator; both run the same fixed iteration count.
     inner: the composite solve's own preconditioner — "amg" is the
       reference's low-order FEM V-cycle (S12/S13, subdomain.tpp:2749-3704,
       rebuilt in amg/), "jacobi" the assembled-diagonal stand-in, "none"
@@ -268,6 +276,9 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
       coarse correction must not round off — same role as the
       reference's hypre-precision coarse solve, subdomain.tpp:4080-4088).
     """
+    if inner_solver not in ("fgmres", "fcg"):
+        raise ValueError(f"inner_solver={inner_solver!r} "
+                         "(use 'fgmres' or 'fcg')")
     sd = domain.sharded
     if sd.structured is None:
         # generic (non-slab) partitions: the unstructured composite path
@@ -281,6 +292,7 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
             subdomain_overlap=subdomain_overlap,
             superdomain_overlap=superdomain_overlap,
             num_iterations=num_iterations, inner=inner,
+            inner_solver=inner_solver,
             num_vcycles=num_vcycles, cheby_order=cheby_order,
             ptype=ptype, max_coarse=max_coarse, fine_mesh=fine_mesh,
             setup_cache=chain_cache)
@@ -724,6 +736,13 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
             return interp.lattice_tensor_apply(plane_c, J, dim - 1)
 
         def comp_dssum(parts, apply_mask=True):
+            if G == 1 and apply_mask and gs._use_pallas_face_sum(parts[0]):
+                # single group (P=1: the composite is the whole domain,
+                # adjacency mask = 0 so stages 1/3 are inert): fuse the
+                # final mask multiply into the one-pass face-sum kernel
+                from ..ops.pallas_kernels import lattice_face_sum_3d
+                return [lattice_face_sum_3d(parts[0], groups[0].order + 1,
+                                            mask=groups_x[0]["mask"])]
             # 1. collapse fine interface faces onto coarse planes (adjoint
             #    of the hanging-node constraints, subdomain.tpp:1496-1582)
             contrib_lo = [None] * G   # addition to group g's top plane
@@ -1014,17 +1033,31 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
             def inner_precond(rr):
                 return comp_dssum(rr, apply_mask=True)
 
+        def comp_dot2(a, b, c, d):
+            # fused rank-local double dot (the reference's
+            # projection_inner_products, subdomain.okl role; no psum —
+            # the composite problem is rank-local, subdomain.tpp:4491)
+            return comp_dot(a, b), comp_dot(c, d)
+
         def _solve_inner(r):
             # STYPE -> PTYPE cast at the tree-operator boundary
             # (copy_from_domain_data, subdomain.okl:268-274)
             f_comp = tree_rhs(r.astype(dtype))
-            res = krylov.fgmres(
-                comp_operator, inner_precond,
-                lambda rr: comp_dssum(rr, apply_mask=True),
-                comp_dot, f_comp,
-                max_iterations=num_iterations,
-                num_vectors=num_iterations,
-                tolerance=0.0)
+            if inner_solver == "fcg":
+                res = krylov.fcg(
+                    comp_operator, inner_precond,
+                    lambda rr: comp_dssum(rr, apply_mask=True),
+                    comp_dot, comp_dot2, f_comp,
+                    max_iterations=num_iterations,
+                    tolerance=0.0)
+            else:
+                res = krylov.fgmres(
+                    comp_operator, inner_precond,
+                    lambda rr: comp_dssum(rr, apply_mask=True),
+                    comp_dot, f_comp,
+                    max_iterations=num_iterations,
+                    num_vectors=num_iterations,
+                    tolerance=0.0)
             # extract the own-slab group and cast back
             # (copy_to_domain_data, subdomain.okl:276-282); outer
             # stitching makes it continuous

@@ -94,6 +94,7 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
                               superdomain_overlap: int = 1,
                               num_iterations: int = 4,
                               inner: str = "jacobi",
+                              inner_solver: str = "fgmres",
                               num_vcycles: int = 1,
                               cheby_order: int = 2,
                               ptype=None,
@@ -939,16 +940,30 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
                 f"unstructured composite inner={inner!r} "
                 "(use 'amg', 'jacobi' or 'none')")
 
+        def comp_dot2(a, b, c, d):
+            # fused rank-local double dot (no psum: rank-local composite,
+            # subdomain.tpp:4491-4557)
+            return comp_dot(a, b), comp_dot(c, d)
+
         def _solve_inner(r):
             # STYPE -> PTYPE cast at the tree boundary (subdomain.okl:268)
             f_comp = tree_rhs(r.astype(dtype))
-            res = krylov.fgmres(
-                comp_operator, inner_precond,
-                lambda rr: comp_dssum(rr, apply_mask=True),
-                comp_dot, f_comp,
-                max_iterations=num_iterations,
-                num_vectors=num_iterations,
-                tolerance=0.0)
+            if inner_solver == "fcg":
+                # fixed-iteration inner FCG (subdomain.tpp:4161-4268)
+                res = krylov.fcg(
+                    comp_operator, inner_precond,
+                    lambda rr: comp_dssum(rr, apply_mask=True),
+                    comp_dot, comp_dot2, f_comp,
+                    max_iterations=num_iterations,
+                    tolerance=0.0)
+            else:
+                res = krylov.fgmres(
+                    comp_operator, inner_precond,
+                    lambda rr: comp_dssum(rr, apply_mask=True),
+                    comp_dot, f_comp,
+                    max_iterations=num_iterations,
+                    num_vectors=num_iterations,
+                    tolerance=0.0)
             # own elements sit in class 0's leading E_pad slots
             z = res.u[0][:E_pad].reshape(-1).astype(domain.dtype)
             return (dssum_f(z, apply_mask=True, apply_weight=True),

@@ -76,6 +76,32 @@ def test_composite_dd_fcg_outer():
     assert err < 1e-6
 
 
+def test_composite_dd_inner_fcg():
+    # inner_solver="fcg": the reference's fixed-iteration FCG composite
+    # solve (subdomain.tpp:4161-4268); same outer convergence class as
+    # the FGMRES inner at identical settings
+    shape, N = (4, 16), 4
+    mesh, dom = build(8, shape, N)
+    u_star = dom.initial_function(4, seed=3)
+    f = dom.manufacture_rhs(u_star)
+    mk = partial(mg.kershaw_mesh, shape, epsilon=0.3)
+    it = {}
+    for isv in ["fcg", "fgmres"]:
+        pre = sub.composite_dd(dom, mk, poly_reduction=3, inner_solver=isv)
+        res = dom.solver(method="fgmres", max_iterations=250,
+                         tolerance=1e-10, precond=pre)(f)
+        assert bool(res.converged), isv
+        it[isv] = int(res.iterations)
+        err = np.abs(np.asarray(res.u) - np.asarray(u_star)).max()
+        assert err < 1e-6, isv
+    # FCG inner may differ slightly from FGMRES inner but stays in the
+    # same class (both are 4 fixed iterations of the same operator+precond)
+    assert it["fcg"] <= it["fgmres"] + 3, it
+
+    with pytest.raises(ValueError):
+        sub.composite_dd(dom, mk, poly_reduction=3, inner_solver="cg")
+
+
 def test_composite_dd_amg_inner_beats_jacobi():
     # M6 acceptance: the low-order FEM V-cycle inner preconditioner
     # (reference S12/S13) needs fewer outer iterations than the Jacobi

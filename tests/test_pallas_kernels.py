@@ -49,6 +49,23 @@ def test_face_sum_kernel_bf16(interpret_pallas):
     assert (np.abs(np.asarray(want - got)) / denom).max() < 0.02
 
 
+def test_face_sum_kernel_fused_mask_weight(interpret_pallas):
+    # fused mask/weight multiplies (structured_dssum's single-shard path)
+    # match the separate XLA multiplies exactly in f32
+    rng = np.random.default_rng(2)
+    shape, n = (16, 16, 16), 4
+    U = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    mask = jnp.asarray(rng.integers(0, 2, shape), jnp.float32)
+    w = jnp.asarray(1.0 / rng.integers(1, 5, shape), jnp.float32)
+    base = gs.lattice_face_sum(U, n, axes=(2, 1, 0))
+    got = pk.lattice_face_sum_3d(U, n, mask=mask, weight=w)
+    assert float(jnp.abs(base * w * mask - got).max()) == 0.0
+    got_m = pk.lattice_face_sum_3d(U, n, mask=mask)
+    assert float(jnp.abs(base * mask - got_m).max()) == 0.0
+    got_w = pk.lattice_face_sum_3d(U, n, weight=w)
+    assert float(jnp.abs(base * w - got_w).max()) == 0.0
+
+
 def test_dispatch_falls_back_off_tpu():
     # CPU backend: the dispatcher must use the roll path (no pallas_call)
     assert not gs._use_pallas_face_sum(jnp.zeros((16, 16, 128)))

@@ -124,6 +124,29 @@ def test_unstructured_hybrid_amg_inner():
         assert err < 1e-6
 
 
+def test_unstructured_inner_fcg():
+    # fixed-iteration FCG composite solve (subdomain.tpp:4161-4268) on
+    # the unstructured path: same convergence class as the FGMRES inner
+    def mk(o):
+        return mg.scramble_mesh(mg.kershaw_mesh((4, 4, 4), o, epsilon=0.3),
+                                seed=11)
+
+    mesh = mk(3)
+    sd = partition_mesh(mesh, 1)
+    dom = Domain(sd, dtype=jnp.float64)
+    u_star = dom.initial_function(4, seed=3)
+    f = dom.manufacture_rhs(u_star)
+    pre = sub.composite_dd(dom, mk, poly_reduction=2, inner="amg",
+                           inner_solver="fcg", fine_mesh=mesh)
+    res = dom.solver(method="fgmres", max_iterations=60,
+                     tolerance=1e-8, precond=pre)(f)
+    assert bool(res.converged)
+    assert int(res.iterations) <= 10, int(res.iterations)
+    err = np.abs(dom.from_device_field(res.u)
+                 - dom.from_device_field(u_star)).max()
+    assert err < 1e-6
+
+
 def test_unstructured_2d_composite():
     def mk2(o):
         return mg.scramble_mesh(mg.kershaw_mesh((6, 6), o, epsilon=0.3),
