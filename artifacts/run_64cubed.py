@@ -35,6 +35,7 @@ def main():
     eps = float(sys.argv[5]) if len(sys.argv) > 5 else 0.3
     cheby = int(sys.argv[6]) if len(sys.argv) > 6 else 2
     nvc = int(sys.argv[7]) if len(sys.argv) > 7 else 1
+    inner_solver = sys.argv[8] if len(sys.argv) > 8 else "fgmres"
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -62,6 +63,7 @@ def main():
     pre = sub.composite_dd(
         dom, builder, poly_reduction=6, inner="amg", ptype=jnp.bfloat16,
         num_iterations=inner_iters, fine_mesh=mesh,
+        inner_solver=inner_solver,
         cheby_order=cheby, num_vcycles=nvc,
         chain_cache=os.path.join(
             ckpt, f"chain_kershaw_{m}cubed.npz" if eps == 0.3
@@ -110,8 +112,9 @@ def main():
         "mesh": f"kershaw eps={eps} {m}^3 N=7 r=6",
         "points": mesh.num_points,
         "solver": (f"{method}" + (f"({nv})" if method != "fcg" else "")
-                   + f" + composite(bf16, inner GMRES({inner_iters}), "
-                   f"cheby {cheby}, {nvc} vcycle)"),
+                   + f" + composite(bf16, inner "
+                   f"{'FCG' if inner_solver == 'fcg' else 'GMRES'}"
+                   f"({inner_iters}), cheby {cheby}, {nvc} vcycle)"),
         "iterations": its,
         "converged": conv,
         "residual_history": hist.tolist(),
@@ -122,6 +125,8 @@ def main():
         "setup_preconditioner_seconds": round(t_pre, 1),
     }
     tag = "" if method == "fcg" else f"_{method}{nv}i{inner_iters}"
+    if inner_solver != "fgmres":
+        tag += f"_is{inner_solver}"
     if eps != 0.3:
         tag += f"_e{eps}"
     if (cheby, nvc) != (2, 1):
