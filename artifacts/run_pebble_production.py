@@ -44,6 +44,10 @@ def main():
         num_vectors=8, ztype="bfloat16",
         inner="amg", inner_iterations=4, max_iterations=200,
         checkpoint="/root/repo/.ckpt_cache",
+        # the reference's double-precision criterion (domain.hpp:118):
+        # f64 side on the host — PB_1568's f64 geometry would not fit
+        # in HBM next to the resident f32 solver
+        refine_tolerance=1e-7, refine_mode="host",
     )
     t0 = time.time()
     rec = run_simulation(cfg, out=sys.stderr)

@@ -59,6 +59,11 @@ class Config:
     #   target (the reference's double-precision production criterion,
     #   domain.hpp:118: relative residual < 1e-7); wraps the stype solver
     #   in float64 refinement cycles (solvers/refine.py)
+    refine_mode: str = "device"        # device | host — where the f64
+    #   residual side runs. "host" keeps all f64 arrays on the host
+    #   (solvers/host_oracle.py): required at headline sizes where f64
+    #   geometry (6.4 GB at Kershaw 64^3 N=7) does not fit in HBM next
+    #   to the resident f32 solver. Single-process only.
 
     # ---- preconditioner (subdomain.hpp:228-238) ----
     preconditioner: str = "composite"  # composite | pmultigrid | jacobi |
@@ -158,6 +163,10 @@ class Config:
         p.add_argument("--tolerance", type=float, default=None)
         p.add_argument("--refine-tolerance", type=float, default=None,
                        help="f64 iterative-refinement target (e.g. 1e-7)")
+        p.add_argument("--refine-mode", default=d.refine_mode,
+                       choices=["device", "host"],
+                       help="f64 residual side: device Domain or the "
+                            "host oracle (for HBM-limited headline sizes)")
         p.add_argument("--preconditioner", default=d.preconditioner,
                        choices=["composite", "pmultigrid", "jacobi", "none"])
         p.add_argument("--inner", default=d.inner,
@@ -198,6 +207,7 @@ class Config:
             stype=a.stype, ptype=a.ptype, solver=a.solver, ztype=a.ztype,
             num_vectors=a.num_vectors, max_iterations=a.max_iterations,
             tolerance=a.tolerance, refine_tolerance=a.refine_tolerance,
+            refine_mode=a.refine_mode,
             preconditioner=a.preconditioner,
             inner=a.inner, inner_iterations=a.inner_iterations,
             inner_solver=a.inner_solver,

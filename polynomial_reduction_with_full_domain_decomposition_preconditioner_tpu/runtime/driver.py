@@ -223,7 +223,33 @@ def run_simulation(cfg: Config, out=sys.stdout) -> dict:
                   file=out)
 
     refined = {}
-    if cfg.refine_tolerance is not None:
+    if cfg.refine_tolerance is not None and cfg.refine_mode == "host":
+        # f64 side on the HOST (solvers/host_oracle.py): headline sizes
+        # where f64 geometry does not fit in HBM next to the f32 solver
+        from ..solvers.host_oracle import HostOperator, host_refine_solve
+        if cfg.num_shards != 1:
+            raise ValueError("refine_mode='host' supports single-shard "
+                             "runs only (global element ordering)")
+        with timer("solve.refine"):
+            host = HostOperator(fine_mesh)
+            u_star64 = np.asarray(dom.from_device_field(u_star),
+                                  dtype=np.float64).reshape(-1)
+            f64h = host.apply(u_star64)
+            rr = host_refine_solve(
+                host, dom, solve, f64h, tolerance=cfg.refine_tolerance,
+                verbose=lambda c, rel: print(
+                    f"refinement cycle: {c:2d}  rel residual: {rel:.6e}",
+                    file=out))
+        err64 = float(np.abs(rr.u - u_star64).max())
+        print(f"f64 refinement (host): rel_res={rr.rel_residual:.3e}  "
+              f"cycles={rr.cycles}  inner_iterations="
+              f"{rr.inner_iterations}  max|u - u*|: {err64:.3e}  "
+              f"converged: {rr.converged}", file=out)
+        refined = {"refined_rel_residual": rr.rel_residual,
+                   "refined_cycles": rr.cycles,
+                   "refined_max_error": err64,
+                   "refined_converged": rr.converged}
+    elif cfg.refine_tolerance is not None:
         # f64 iterative refinement on top of the stype solver (the
         # reference's double-precision criterion, domain.hpp:118)
         from ..solvers.domain import Domain

@@ -142,6 +142,11 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
             from ..runtime.checkpoint import load_setup_payload
             payload = load_setup_payload(setup_cache)
 
+    if payload is not None and inner == "fem-amg" \
+            and payload.get("fem") is None:
+        # cache written for a different inner: the fem hierarchy needs
+        # the raw constraint lists, which only the full build has
+        payload = None
     if payload is not None:
         # checkpointed host setup: skip the graph/region/constraint
         # construction entirely (identical arrays by construction)
@@ -150,8 +155,10 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
         sup = payload["sup"]
         fb_meta = payload["fb_meta"]
         nv = payload["nv"]
+        fem_host = payload.get("fem")
         C = L                       # one class per level order
     else:
+        fem_host = None
         order_set = sorted(set(orders) | {1})
         mesh_by_order = {
             o: (fine_mesh if o == N and fine_mesh is not None
@@ -278,6 +285,7 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
 
         per_slv_ids = {}    # [c][p] class-local fine slave node ids
         per_slv_cols = {}   # [c][p] class-local coarse constraint node ids
+        per_slv_wts = {}    # [c][p] constraint weights (raw, un-padded)
         for c in range(C - 1):
             nf, nc = orders[c] + 1, orders[c + 1] + 1
             glo_f = mesh_by_order[orders[c]].glo_num
@@ -301,6 +309,7 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
                 per_wts.append(wts)
             per_slv_ids[c] = per_ids
             per_slv_cols[c] = per_cols
+            per_slv_wts[c] = per_wts
             Ns = max(a.size for a in per_ids)     # global max (SPMD shapes)
             K = nc ** (dim - 1)
             ids_a = np.full((Po, Ns), classes[c]["NN"], dtype=np.int32)
@@ -561,6 +570,32 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
                         pm[j] = s["nmask"][np.minimum(s["gids"], s["NN"])]
                     classes[c]["pmask"] = pm
 
+        if inner == "fem-amg":
+            # reference-faithful S12/S13: composite low-order FEM matrix
+            # (exact SEM-Q1 for order-1 classes, Kuhn P1 on GLL subcells
+            # above) + aggregation hierarchy per shard, padded to
+            # SPMD-uniform shapes (amg/unstructured_fem.py). The setup is
+            # replicated over shards — like the reference's replicated
+            # element graph (subdomain.tpp:198-430) — so multi-process
+            # runs produce consistent stacked patterns.
+            from ..amg.unstructured_fem import (
+                build_unstructured_fem_shard, pad_fem_shards)
+            fem_shards = []
+            for p in range(Pn):
+                slv_p = [(per_slv_ids[c][p], per_slv_cols[c][p],
+                          per_slv_wts[c][p]) for c in range(C - 1)]
+                sup_p = None
+                if sup is not None:
+                    sup_p = {"A": per[p]["A"], "iface": per[p]["iface"],
+                             "mask": per[p]["mask"]}
+                fem_shards.append(build_unstructured_fem_shard(
+                    orders, mesh_by_order,
+                    [class_elems[c][p] for c in range(C)],
+                    [cls_setups[c][p] for c in range(C)],
+                    slv_p, sup_p, max_coarse=max_coarse))
+            fem_host = pad_fem_shards(
+                fem_shards, ns_pad=sup["ns"] if sup is not None else 0)
+
     # ---- device pytree (shard_put: squeezed single-device, stacked
     #      single-process SPMD, global jax.Arrays multi-process) ----
     sh = domain.shard_put
@@ -619,6 +654,46 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
             "vids": sh(sup["vids"]),
         }
 
+    if inner == "fem-amg":
+        # stacked device hierarchy (values for owned shards only; the
+        # pad counts come from every shard's pattern — SPMD-consistent)
+        from ..ops.csr import bsr_stack as _bstack
+        owned_l = list(sd.owned) if sd.owned else list(range(Pn))
+        nlev_f = len(fem_host[0]["chain"]["mats"])
+
+        def _stk(mats):
+            return sh_bsr(_bstack(mats, dtype=dtype, select=owned_l))
+
+        def _arr(xs, dt=dtype):
+            return sh(np.stack([np.asarray(xs[p]) for p in owned_l]),
+                      dtype=dt)
+
+        fem_levels = []
+        for l in range(nlev_f):
+            diags = [fh["chain"]["mats"][l].diagonal() for fh in fem_host]
+            fem_levels.append({
+                "A": _stk([fh["chain"]["mats"][l] for fh in fem_host]),
+                "invd": _arr([np.where(d != 0, 1.0 / d, 0.0)
+                              for d in diags]),
+                "lmax": _arr([
+                    fh["chain"]["lmaxs"][l] if l < nlev_f - 1 else 1.0
+                    for fh in fem_host]),
+            })
+        extra["fem"] = {
+            "levels": fem_levels,
+            "prolongs": [_stk([fh["chain"]["prolongs"][l]
+                               for fh in fem_host])
+                         for l in range(nlev_f - 1)],
+            "restricts": [_stk([fh["chain"]["prolongs"][l].T.tocsr()
+                                for fh in fem_host])
+                          for l in range(nlev_f - 1)],
+            "coarse_inv": _arr([fh["chain"]["coarse_inv"]
+                                for fh in fem_host]),
+            "Q": _stk([fh["Q"] for fh in fem_host]),
+            "Qt": _stk([fh["Q"].T.tocsr() for fh in fem_host]),
+            "dof_mask": _arr([fh["dof_mask"] for fh in fem_host]),
+        }
+
     def core_specs(ax):
         def cspec(cl):
             s = {"gids": P(ax), "nmask": P(ax), "geom": P(ax),
@@ -637,6 +712,8 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
         }
         if sup is not None:
             specs["sup"] = jax.tree.map(lambda _: P(ax), extra["sup"])
+        if inner == "fem-amg":
+            specs["fem"] = jax.tree.map(lambda _: P(ax), extra["fem"])
         return specs
 
     amg_pack = None
@@ -932,13 +1009,42 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
             def inner_precond(rr):
                 return tm(jnp.multiply, comp_dssum(rr, apply_mask=True),
                           comp_inv_diag)
+        elif inner == "fem-amg":
+            # the reference's low-order FEM AMG V-cycle on the composite
+            # (S12/S13, subdomain.tpp:3987-4159), all-device: gather the
+            # unassembled composite residual to FEM DOFs (Q^T), V-cycle
+            # on the aggregation hierarchy, scatter back (Q)
+            from ..amg.vcycle import vcycle_apply
+            from ..ops.csr import bsr_spmv as _bspmv
+            fem_x = extra_x["fem"]
+            fem_tree = {"levels": fem_x["levels"],
+                        "prolongs": fem_x["prolongs"],
+                        "restricts": fem_x["restricts"],
+                        "coarse_inv": fem_x["coarse_inv"]}
+            sup_x0 = ops_c["sup_x"]
+
+            def inner_precond(rr):
+                flat = jnp.concatenate([p.reshape(-1) for p in rr])
+                f = _bspmv(fem_x["Qt"], flat) * fem_x["dof_mask"]
+                v = vcycle_apply(fem_tree, f, cheby_order=cheby_order,
+                                 num_cycles=num_vcycles)
+                z = _bspmv(fem_x["Q"], v * fem_x["dof_mask"])
+                outs = []
+                off = 0
+                for c in range(C):
+                    outs.append(z[off:off + cls_sizes[c]].reshape(
+                        cls_shapes[c]))
+                    off += cls_sizes[c]
+                if sup_x0 is not None:
+                    outs.append(z[off:])
+                return outs
         elif inner == "none":
             def inner_precond(rr):
                 return comp_dssum(rr, apply_mask=True)
         else:
             raise NotImplementedError(
                 f"unstructured composite inner={inner!r} "
-                "(use 'amg', 'jacobi' or 'none')")
+                "(use 'amg', 'fem-amg', 'jacobi' or 'none')")
 
         def comp_dot2(a, b, c, d):
             # fused rank-local double dot (no psum: rank-local composite,
@@ -1047,7 +1153,7 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
     if setup_cache is not None and payload is None:
         from ..runtime.checkpoint import save_setup_payload
         sav = {"classes": classes, "slaves": slaves, "sup": sup,
-               "fb_meta": fb_meta, "nv": nv,
+               "fb_meta": fb_meta, "nv": nv, "fem": fem_host,
                "agg_info": None, "agg_vmask": None, "lmax0": None}
         if inner == "amg":
             sav["agg_info"] = agg_info
