@@ -231,13 +231,83 @@ def vertex_q1_hierarchy(mesh_order1, plane_shape, m_last: int, dim: int,
     return coarsen_chain_info(A1, vert_shape, max_coarse=max_coarse)
 
 
+def pad_hier_dofs(hiers) -> None:
+    """Pad per-shard hierarchies to a common level-0 DOF count (ragged
+    slab partitions: shards with more own layers carry more fine-order
+    blocks, hence more composite FEM DOFs). Pad DOFs are isolated
+    unit-diagonal rows — smoothing and transfers leave them at zero.
+    Levels >= 1 live on the shared element-vertex grid and already agree.
+    In-place."""
+    nd = max(h.mats[0].shape[0] for h in hiers)
+    for h in hiers:
+        n0 = h.mats[0].shape[0]
+        if n0 == nd:
+            continue
+        A = h.mats[0].tocsr(copy=True)
+        A.resize((nd, nd))
+        pad = sp.coo_matrix(
+            (np.ones(nd - n0), (np.arange(n0, nd), np.arange(n0, nd))),
+            shape=(nd, nd))
+        h.mats[0] = (A + pad).tocsr()
+        P0 = h.prolongs[0].tocsr(copy=True)
+        P0.resize((nd, P0.shape[1]))
+        h.prolongs[0] = P0
+        Q = h.Q.tocsr(copy=True)
+        Q.resize((Q.shape[0], nd))
+        h.Q = Q
+        dm = np.zeros(nd)
+        dm[:n0] = h.dof_mask
+        h.dof_mask = dm
+        h.lmaxs[0] = max(h.lmaxs[0], 1.0)
+
+
+def _q1_layer_grid_matrix(mesh1, q: int, plane_shape, dim: int) -> sp.csr_matrix:
+    """Exact SEM Q1 matrix of one order-1 element layer, assembled on the
+    layer's node grid (2, my+1, mx+1): the reference's order-1 element
+    treatment in the low-order FEM matrix (subdomain.tpp:3040-3125),
+    replacing the simplicial P1 approximation used for order > 1."""
+    from .fem import sem_element_matrices
+    plane_shape = tuple(plane_shape)
+    plane = int(np.prod(plane_shape))
+    sel = np.arange(q * plane, (q + 1) * plane)
+    K = sem_element_matrices(mesh1.geom[sel], dim, 2)  # (plane, npe, npe)
+    grid = (2,) + tuple(ps + 1 for ps in plane_shape)
+    nid = np.arange(int(np.prod(grid)), dtype=np.int64).reshape(grid)
+    npe = 2 ** dim
+    ids = np.empty((plane, npe), dtype=np.int64)
+    if dim == 3:
+        my, mx = plane_shape
+        ey, ex = np.divmod(np.arange(plane), mx)
+        loc = 0
+        for cz in range(2):
+            for cy in range(2):
+                for cx in range(2):
+                    ids[:, loc] = nid[cz, ey + cy, ex + cx]
+                    loc += 1
+    else:
+        (mx,) = plane_shape
+        ex = np.arange(plane)
+        loc = 0
+        for cy in range(2):
+            for cx in range(2):
+                ids[:, loc] = nid[cy, ex + cx]
+                loc += 1
+    rows = np.repeat(ids, npe, axis=1).ravel()
+    cols = np.tile(ids, (1, npe)).ravel()
+    A = sp.coo_matrix((K.ravel(), (rows, cols)),
+                      shape=(nid.size, nid.size)).tocsr()
+    A.sum_duplicates()
+    return A
+
+
 # ---------------------------------------------------------------------------
 # composite build
 
 
 def build_composite_hierarchy(groups, mesh_by_order, plane_shape, m_last: int,
                               base: int, dim: int,
-                              max_coarse: int = 600) -> HostHierarchy:
+                              max_coarse: int = 600,
+                              phys_by_group=None) -> HostHierarchy:
     """Build one shard's composite FEM matrix + multilevel hierarchy.
 
     groups: list of group specs with .order/.layers/.start_pos (cyclic
@@ -245,18 +315,36 @@ def build_composite_hierarchy(groups, mesh_by_order, plane_shape, m_last: int,
     mesh_by_order: {order: GlobalMesh} for every order appearing in groups.
     plane_shape: element grid of a z-layer in storage order (my, mx).
     m_last: total element layers; base: the shard's first physical layer.
+    phys_by_group: optional per-group physical-layer lists with -1 pad
+      slots (the group_phys maps of solvers/subdomain.py) — RAGGED slab
+      partitions carry trailing pad layers in the own and far groups;
+      pad lattice slices map to zero rows of Q and no FEM block.
     """
     plane_shape = tuple(plane_shape)
 
-    # ---- layer blocks in cyclic order ----
+    # ---- layer blocks in cyclic order (real slots only) ----
     block_order, block_phys, block_group = [], [], []
+    blk_of = []              # per group: (g.layers,) block id or -1 (pad)
     for gi, g in enumerate(groups):
+        arr = np.full(g.layers, -1, dtype=np.int64)
         for k in range(g.layers):
+            if phys_by_group is None:
+                q = (base + g.start_pos + k) % m_last
+            else:
+                q = phys_by_group[gi][k]
+                if q < 0:
+                    continue
+            arr[k] = len(block_order)
             block_order.append(g.order)
-            block_phys.append((base + g.start_pos + k) % m_last)
+            block_phys.append(q)
             block_group.append(gi)
+        blk_of.append(arr)
     nblocks = len(block_order)
     assert nblocks == m_last
+    # cyclic physical contiguity (the plane-merge invariant): block b's
+    # top plane is block b+1's bottom plane
+    for b in range(nblocks):
+        assert (block_phys[b] + 1) % m_last == block_phys[(b + 1) % nblocks]
 
     grid_shapes = [
         (o + 1,) + tuple(ps * o + 1 for ps in plane_shape)
@@ -265,12 +353,18 @@ def build_composite_hierarchy(groups, mesh_by_order, plane_shape, m_last: int,
     offs = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64)
     total = int(offs[-1])
 
-    # ---- per-block P1 FEM assembly (S12) ----
+    # ---- per-block low-order assembly (S12): Kuhn P1 on GLL subcells
+    #      for order > 1; ORDER-1 blocks use the exact SEM Q1 element
+    #      matrix, as the reference does (subdomain.tpp:3040-3125) ----
     A_blocks = []
     for b in range(nblocks):
         mesh = mesh_by_order[block_order[b]]
-        X = _block_grid_coords(mesh, block_phys[b], plane_shape, dim)
-        A_blocks.append(p1_stiffness_grid(X))
+        if block_order[b] == 1:
+            A_blocks.append(_q1_layer_grid_matrix(
+                mesh, block_phys[b], plane_shape, dim))
+        else:
+            X = _block_grid_coords(mesh, block_phys[b], plane_shape, dim)
+            A_blocks.append(p1_stiffness_grid(X))
     A_blk = sp.block_diag(A_blocks, format="csr")
 
     # ---- plane merge/slave matrix C (the J_e folding, S12/S7/S8) ----
@@ -339,20 +433,24 @@ def build_composite_hierarchy(groups, mesh_by_order, plane_shape, m_last: int,
 
     A0 = _mask_fold((C.T @ A_blk @ C).tocsr(), dof_mask)
 
-    # ---- lattice <-> DOF map Q (S11 gather/scatter) ----
+    # ---- lattice <-> DOF map Q (S11 gather/scatter); pad lattice
+    #      slices (ragged partitions) map to the zero row ``total`` ----
+    C_ext = sp.vstack([C, sp.csr_matrix((1, C.shape[1]))], format="csr")
+    offs_ext = np.concatenate([offs[:-1], [0]])   # block -1 -> off 0
     lat_rows = []
     for gi, g in enumerate(groups):
         o = g.order
         n_o = o + 1
         lat_shape = (g.layers * n_o,) + tuple(ps * n_o for ps in plane_shape)
         zi = np.arange(lat_shape[0])
-        blk0 = block_group.index(gi)
-        b_of_z = blk0 + zi // n_o
+        b_of_z = blk_of[gi][zi // n_o]
+        valid = b_of_z >= 0
         pz = zi % n_o
         maps = [None]
         for ps, Ld in zip(plane_shape, lat_shape[1:]):
             li = np.arange(Ld)
             maps.append((li // n_o) * o + (li % n_o))
+        blk0 = int(blk_of[gi][blk_of[gi] >= 0][0])
         shp = grid_shapes[blk0]
         plane_sz = int(np.prod(shp[1:]))
         if dim == 3:
@@ -361,10 +459,11 @@ def build_composite_hierarchy(groups, mesh_by_order, plane_shape, m_last: int,
             in_plane = (gy * shp[2] + gx).reshape(-1)
         else:
             in_plane = maps[1]
-        node = (offs[b_of_z] + pz * plane_sz)[:, None] + in_plane[None, :]
+        node = (offs_ext[b_of_z] + pz * plane_sz)[:, None] + in_plane[None, :]
+        node = np.where(valid[:, None], node, total)
         lat_rows.append(node.reshape(-1))
     lat_nodes = np.concatenate(lat_rows)
-    Q = C[lat_nodes].tocsr()
+    Q = C_ext[lat_nodes].tocsr()
 
     # ---- P1 prolongation from the global element-vertex grid (J_cf_fem,
     #      subdomain.tpp:2754-2783), folded to DOFs ----

@@ -27,7 +27,8 @@ import scipy.sparse as sp
 
 from ..utils.gll import gll_points_weights, lagrange_eval
 
-__all__ = ["p1_stiffness_grid", "grid_interp_1d"]
+__all__ = ["p1_stiffness_grid", "grid_interp_1d",
+           "sem_element_matrices"]
 
 # Kuhn triangulation of the unit cube: for each permutation pi of the axes,
 # the tet 0 -> e_{pi0} -> e_{pi0}+e_{pi1} -> (1,1,1). Corners as (cz, cy, cx).
@@ -169,3 +170,35 @@ def grid_interp_1d(m: int, o_from: int, o_to: int) -> sp.csr_matrix:
         (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
         shape=(n_to, n_from)).tocsr()
     return J
+
+
+def sem_element_matrices(geom: np.ndarray, dim: int, n: int) -> np.ndarray:
+    """Exact SEM element stiffness matrices (E, npe, npe) from geometric
+    factors: K_e = sum_ab D_a^T diag(G_ab) D_b. With n=2 this is the
+    reference's SEM Q1 element matrix for order-1 elements
+    (subdomain.tpp:3040-3125)."""
+    from ..utils.gll import diff_matrix
+    D1 = np.asarray(diff_matrix(n))
+    eye = np.eye(n)
+    Ds = []
+    for a in range(dim):                   # a = 0 -> r (x, fastest axis)
+        mats = [eye] * dim
+        mats[dim - 1 - a] = D1
+        M = mats[0]
+        for k in range(1, dim):
+            M = np.kron(M, mats[k])
+        Ds.append(M)
+    Ds = np.stack(Ds)                      # (dim, npe, npe)
+    if dim == 2:
+        comp = [(0, 0, 0), (1, 1, 1), (2, 0, 1)]
+    else:
+        comp = [(0, 0, 0), (1, 1, 1), (2, 2, 2),
+                (3, 0, 1), (4, 0, 2), (5, 1, 2)]
+    npe = n ** dim
+    E = geom.shape[0]
+    Gf = np.zeros((E, npe, dim, dim))
+    g = geom.reshape(E, npe, -1)
+    for k, a, b in comp:
+        Gf[..., a, b] = g[..., k]
+        Gf[..., b, a] = g[..., k]
+    return np.einsum("amp,emab,bmq->epq", Ds, Gf, Ds)

@@ -33,44 +33,13 @@ from __future__ import annotations
 import numpy as np
 import scipy.sparse as sp
 
-from .fem import _kuhn_tets, _simplex_stiffness
+from .fem import _kuhn_tets, _simplex_stiffness, sem_element_matrices
 from .composite import _mask_fold
 from .aggregation import aggregation_chain
 
 __all__ = ["p1_element_entries", "sem_element_matrices",
            "build_unstructured_fem_shard", "pad_fem_shards"]
 
-
-def sem_element_matrices(geom: np.ndarray, dim: int, n: int) -> np.ndarray:
-    """Exact SEM element stiffness matrices (E, npe, npe) from geometric
-    factors: K_e = sum_ab D_a^T diag(G_ab) D_b. With n=2 this is the
-    reference's SEM Q1 element matrix for order-1 elements
-    (subdomain.tpp:3040-3125)."""
-    from ..utils.gll import diff_matrix
-    D1 = np.asarray(diff_matrix(n))
-    eye = np.eye(n)
-    Ds = []
-    for a in range(dim):                   # a = 0 -> r (x, fastest axis)
-        mats = [eye] * dim
-        mats[dim - 1 - a] = D1
-        M = mats[0]
-        for k in range(1, dim):
-            M = np.kron(M, mats[k])
-        Ds.append(M)
-    Ds = np.stack(Ds)                      # (dim, npe, npe)
-    if dim == 2:
-        comp = [(0, 0, 0), (1, 1, 1), (2, 0, 1)]
-    else:
-        comp = [(0, 0, 0), (1, 1, 1), (2, 2, 2),
-                (3, 0, 1), (4, 0, 2), (5, 1, 2)]
-    npe = n ** dim
-    E = geom.shape[0]
-    Gf = np.zeros((E, npe, dim, dim))
-    g = geom.reshape(E, npe, -1)
-    for k, a, b in comp:
-        Gf[..., a, b] = g[..., k]
-        Gf[..., b, a] = g[..., k]
-    return np.einsum("amp,emab,bmq->epq", Ds, Gf, Ds)
 
 
 def p1_element_entries(X: np.ndarray, dim: int, n: int):

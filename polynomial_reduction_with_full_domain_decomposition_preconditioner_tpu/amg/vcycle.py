@@ -39,7 +39,7 @@ _BSR_BLOCK = 16   # measured 1.3 Gnnz/s at 275k rows (10x the ELL gathers)
 
 
 def pack_hierarchies(hiers: list[HostHierarchy], dtype=jnp.float32,
-                     stack: bool = True):
+                     stack: bool = True, select=None, put=None):
     """Device pytree for one or many shards' hierarchies. All sparse
     operators pack as block-sparse BSR (ops/csr.bsr_spmv) — the ELL
     gather form measured ~0.1 Gnnz/s on TPU and faulted at multi-million
@@ -47,6 +47,11 @@ def pack_hierarchies(hiers: list[HostHierarchy], dtype=jnp.float32,
 
     With stack=True every leaf gets a leading shard axis (for shard_map);
     with stack=False a single hierarchy is packed unstacked.
+    select/put: multi-process local-only setup — ``hiers`` covers EVERY
+    shard (patterns shape the SPMD-consistent pads), ``select`` names
+    this process's shards (values materialize for those only), and
+    ``put`` (e.g. Domain.shard_put) places each stacked leaf as a global
+    jax.Array.
     """
     if not stack:
         hiers2 = [hiers[0]]
@@ -55,8 +60,16 @@ def pack_hierarchies(hiers: list[HostHierarchy], dtype=jnp.float32,
         arr = lambda xs: jnp.asarray(np.asarray(xs[0]), dtype=dtype)
     else:
         hiers2 = hiers
-        pack = lambda mats: bsr_stack(mats, block=_BSR_BLOCK, dtype=dtype)
-        arr = lambda xs: jnp.asarray(np.stack(xs), dtype=dtype)
+        sel = list(range(len(hiers))) if select is None else list(select)
+        pack = lambda mats: bsr_stack(mats, block=_BSR_BLOCK, dtype=dtype,
+                                      select=select)
+        arr = lambda xs: jnp.asarray(np.stack([np.asarray(xs[p])
+                                               for p in sel]), dtype=dtype)
+        if put is not None:
+            _p, _a = pack, arr
+            pack = lambda mats: jax.tree.map(
+                lambda x: put(np.asarray(x)), _p(mats))
+            arr = lambda xs: put(np.asarray(_a(xs)))
     squeeze = lambda e: e
 
     nlev = len(hiers2[0].mats)

@@ -331,10 +331,6 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
             raise ValueError(
                 "far_coarsen > 1 requires the shard count to divide the "
                 f"last element dimension ({m_last} layers, {Pn} shards)")
-        if inner == "fem-amg":
-            raise NotImplementedError(
-                "inner='fem-amg' requires the shard count to divide the "
-                "last element dimension; use inner='amg'")
         Fz = 1
         if m_last - max(counts) - 2 * V * L < 1:
             raise ValueError(
@@ -623,21 +619,28 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
         amg_specs = amg_specs_fn
     elif inner == "fem-amg":
         # reference-faithful path: composite low-order FEM matrix (S12)
-        # with an ELL-matrix hierarchy (S13) — the correctness oracle.
-        # CAUTION: gather-bound on TPU (~0.1 Gnnz/s) and multi-million-row
-        # ELL gathers have triggered device faults on the axon runtime;
-        # use for validation at small/medium sizes, 'amg' for production
-        from ..amg.composite import build_composite_hierarchy
+        # with a BSR-matrix hierarchy (S13) — the correctness oracle.
+        # Covers uniform AND ragged slab partitions (pad slots map to
+        # zero Q rows) and multi-process runs (the hierarchy build is
+        # replicated over shards like the reference's element graph,
+        # subdomain.tpp:198-430; values stack for owned shards only).
+        # Use for validation at small/medium sizes, 'amg' for production.
+        from ..amg.composite import build_composite_hierarchy, pad_hier_dofs
         from ..amg.vcycle import pack_hierarchies
-        if domain.multiprocess:
-            raise NotImplementedError(
-                "inner='fem-amg' is single-process (use inner='amg' for "
-                "multi-host runs)")
+        build_all = domain.multiprocess
+        shard_set = list(range(Pn)) if build_all else shard_list
         hiers = [build_composite_hierarchy(
             groups, mesh_by_order, plane_shape, m_last, bases[p], dim,
-            max_coarse=max_coarse) for p in shard_list]
-        extra["amg"] = pack_hierarchies(hiers, dtype=dtype,
-                                        stack=domain.spmd)
+            max_coarse=max_coarse,
+            phys_by_group=[group_phys(g, gi, p)
+                           for gi, g in enumerate(groups)] if ragged
+            else None) for p in shard_set]
+        if ragged:
+            pad_hier_dofs(hiers)
+        extra["amg"] = pack_hierarchies(
+            hiers, dtype=dtype, stack=domain.spmd,
+            select=(shard_list if build_all else None),
+            put=(domain.shard_put if build_all else None))
 
     def extra_specs(ax):
         specs = core_specs(ax)

@@ -33,6 +33,10 @@ def main():
 
     P = 4
     assert jax.device_count() == P, jax.device_count()
+    inner = "amg"
+    if mode.endswith("-femamg"):
+        mode = mode[:-len("-femamg")]
+        inner = "fem-amg"
     shape = (2, 2, 8)
     base = partial(mg.box_mesh, shape, extent=(1.0, 1.0, 4.0))
     if mode == "unstructured":
@@ -52,7 +56,7 @@ def main():
     dom = Domain(sd, dtype=jnp.float64, device_mesh=dmesh)
     u_star = dom.initial_function(4, seed=1)
     f = dom.manufacture_rhs(u_star)
-    pre = sub.composite_dd(dom, mk, poly_reduction=2, inner="amg")
+    pre = sub.composite_dd(dom, mk, poly_reduction=2, inner=inner)
     res = dom.solver(method="fgmres", max_iterations=100, tolerance=1e-8,
                      precond=pre)(f)
     hist = np.asarray(res.residual_history)
