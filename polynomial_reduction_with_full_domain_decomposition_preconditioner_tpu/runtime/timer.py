@@ -94,6 +94,28 @@ class Timer:
     def total(self, name: str) -> float:
         return self._totals.get(name, 0.0)
 
+    def gather_process_totals(self):
+        """MEASURED per-process region totals: one tiny allgather at
+        report time (the reference syncs and MAX-reduces every region
+        across ranks, timer.tpp:67; its final report prints the per-rank
+        vectors, poisson.cpp:391-401). Returns (names, (nproc, R) array).
+        Collective — every process must call it (the reference's report
+        path is identically collective, poisson.cpp:304).
+        """
+        import numpy as np
+        names = sorted(self._totals)
+        vals = np.asarray([self._totals[n] for n in names])
+        if jax.process_count() == 1:
+            return names, vals[None]
+        try:
+            from jax.experimental import multihost_utils
+            allv = multihost_utils.process_allgather(vals)
+            return names, np.asarray(allv)
+        except Exception:                            # pragma: no cover
+            # mismatched region sets across processes (diverged code
+            # paths): fall back to this process's values, labeled local
+            return names, vals[None]
+
     def report(self, num_shards: int | None = None) -> str:
         """Hierarchical text table in the reference's output style
         (poisson.cpp:259-401: '<name>: <total> s  (xN)').
@@ -101,11 +123,23 @@ class Timer:
         With num_shards, each region also prints the reference's
         mean/max-over-ranks aggregation and per-rank vector
         '[ t_0 t_1 ... t_{P-1} ]' (timer.tpp:78-125, poisson.cpp:391-401).
-        Under shard_map the shards execute lockstep inside one XLA
-        program, so the per-shard wall times are identical by
-        construction — the schema is emitted for report parity and for
-        multi-process runs where they can genuinely differ.
+        In multi-process runs the vectors are MEASURED per process (one
+        allgather, gather_process_totals) and expanded to shards via the
+        contiguous ownership map; within one process the shards execute
+        lockstep inside one XLA program, so their entries are identical
+        by construction.
         """
+        gathered = None
+        if num_shards:
+            names_g, mat = self.gather_process_totals()
+            nproc = mat.shape[0]
+            if num_shards % max(nproc, 1) == 0:
+                per = num_shards // nproc
+                # shard s belongs to process s // per (owned_shards map)
+                shard_vals = {
+                    n: mat[:, i].repeat(per)
+                    for i, n in enumerate(names_g)}
+                gathered = shard_vals
         lines = []
         for name in sorted(self._totals):
             depth = name.count(".")
@@ -113,9 +147,14 @@ class Timer:
             line = (f"{'  ' * depth}{name}: {t:.6f} s  "
                     f"(x{self._counts[name]})")
             if num_shards:
-                vec = " ".join(f"{t:.6f}" for _ in range(num_shards))
-                line += (f"\n{'  ' * depth}  mean: {t:.6f}  max: {t:.6f}  "
-                         f"[ {vec} ]")
+                if gathered is not None and name in gathered:
+                    v = gathered[name]
+                else:                                # pragma: no cover
+                    import numpy as np
+                    v = np.full(num_shards, t)
+                vec = " ".join(f"{x:.6f}" for x in v)
+                line += (f"\n{'  ' * depth}  mean: {v.mean():.6f}  "
+                         f"max: {v.max():.6f}  [ {vec} ]")
             lines.append(line)
         return "\n".join(lines)
 

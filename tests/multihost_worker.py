@@ -62,6 +62,20 @@ def main():
     hist = np.asarray(res.residual_history)
     err_local = float(np.abs(dom.from_device_field(res.u)
                              - dom.from_device_field(u_star)).max())
+
+    # measured per-process timing vectors (timer.tpp:67 role): a probe
+    # region deliberately takes pid-dependent time; the report-time
+    # allgather must surface the DIFFERENT values, not a replicated one
+    import time as _time
+    from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.runtime.timer import Timer
+    tmr = Timer(sync=False)
+    tmr.start("probe")
+    _time.sleep(0.05 * (pid + 1))
+    tmr.stop("probe")
+    names, mat = tmr.gather_process_totals()
+    timer_vec = mat[:, names.index("probe")].tolist()
+    report = tmr.report(num_shards=P)
+
     if pid == 0:
         with open(out_path, "w") as fh:
             json.dump({
@@ -69,6 +83,8 @@ def main():
                 "converged": bool(res.converged),
                 "history": hist[np.isfinite(hist)].tolist(),
                 "err_local": err_local,
+                "timer_vec": timer_vec,
+                "timer_report": report,
             }, fh)
     return 0
 
