@@ -149,16 +149,17 @@ class Domain:
             invd = sharded.inv_degree_pts
 
         # face-block dssum plan for unstructured 3-D hex shards (the
-        # fast exact assembly, ops/face_dssum.py). Multi-process runs
-        # fall back to the scatter path: plan pad shapes are global
-        # maxima and this process only has its own shards' glo_num.
+        # fast exact assembly, ops/face_dssum.py). In multi-process runs
+        # each process builds plans for its OWNED shards only; the pad
+        # maxima (global SPMD shape requirements) come from one tiny
+        # allgather of the local maxima (the gslib-setup collective role,
+        # domain.tpp:283-284).
         self._fb_n = n
         self._fb_nr = 0
         self._fb_ng = 0
         fb_stacked = None
         if (sharded.structured is None and sharded.dim == 3
-                and sharded.num_points_per_elem == n ** 3
-                and not self.multiprocess):
+                and sharded.num_points_per_elem == n ** 3):
             from ..ops import face_dssum as fd
             plans, metas = [], []
             for k in range(n_own):
@@ -181,10 +182,36 @@ class Domain:
                     break
                 plans.append(plan)
                 metas.append(meta)
+            nr = ng = 0
+            shapes = None
             if plans:
-                self._fb_nr = max(m["num_rest_nodes"] for m in metas)
-                self._fb_ng = max(m["num_edge_groups"] for m in metas)
+                nr = max(m["num_rest_nodes"] for m in metas)
+                ng = max(m["num_edge_groups"] for m in metas)
                 shapes = fd.max_shapes(plans)
+            if self.multiprocess:
+                from jax.experimental import multihost_utils
+                keys = sorted(shapes) if shapes else []
+                flat = [1 if plans else 0, nr, ng]
+                for key in keys:
+                    flat.extend(shapes[key])
+                assert len(flat) <= 64, len(flat)
+                vec = np.zeros(64, dtype=np.int64)
+                vec[:len(flat)] = flat
+                allv = np.asarray(multihost_utils.process_allgather(vec))
+                if allv[:, 0].min() == 0:
+                    plans = None            # any process fell back
+                else:
+                    gmax = allv.max(axis=0)
+                    nr, ng = int(gmax[1]), int(gmax[2])
+                    off = 3
+                    for key in keys:
+                        nd = len(shapes[key])
+                        shapes[key] = tuple(
+                            int(x) for x in gmax[off:off + nd])
+                        off += nd
+            if plans:
+                self._fb_nr = nr
+                self._fb_ng = ng
                 plans = [fd.plan_pad_to(p, self._fb_nr, shapes)
                          for p in plans]
                 fb_stacked = {

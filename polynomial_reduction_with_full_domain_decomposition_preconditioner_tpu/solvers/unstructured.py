@@ -131,10 +131,16 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
     L = len(orders)
     V = subdomain_overlap
 
-    if jax.process_count() > 1:
-        # payload arrays are owned-shards-stacked: a cache written by a
-        # different process layout would be silently wrong
-        setup_cache = None
+    if jax.process_count() > 1 and setup_cache is not None:
+        # payload arrays are owned-shards-stacked: key the cache file by
+        # this process's shard-ownership layout so each process reads
+        # exactly the payload it wrote (a cache from a different layout
+        # resolves to a different path and simply misses)
+        import os as _os
+        own = list(sd.owned) if sd.owned else list(range(Pn))
+        root, ext = _os.path.splitext(setup_cache)
+        setup_cache = (f"{root}_pp{jax.process_index()}"
+                       f"of{jax.process_count()}_o{own[0]}-{own[-1]}{ext}")
     payload = None
     if setup_cache is not None:
         import os
@@ -1094,7 +1100,9 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
 
     if inner == "amg" and payload is not None \
             and payload.get("lmax0") is not None:
-        extra["amg"]["lmax0"] = jnp.asarray(payload["lmax0"], dtype=dtype)
+        # (Po,)-stacked per-owned values -> squeezed / stacked / global
+        extra["amg"]["lmax0"] = sh(np.atleast_1d(payload["lmax0"]),
+                                   dtype=dtype)
     elif inner == "amg":
         # Chebyshev lambda_max(D^-1 S A) of the composite, by device power
         # iteration over the same traced ops (hypre's eigenvalue-estimate
@@ -1160,9 +1168,18 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
             sav["agg_vmask"] = vmask
             # float64 numpy holds every ptype's value exactly (f32/bf16
             # round-trip bitwise; jnp would silently clamp to f32 when
-            # x64 is off)
-            sav["lmax0"] = np.asarray(
-                extra["amg"]["lmax0"]).astype(np.float64)
+            # x64 is off). Stored (Po,)-stacked per OWNED shards: a
+            # multi-process global array is fetched through its
+            # addressable shards only.
+            lm = extra["amg"]["lmax0"]
+            if domain.multiprocess:
+                shl = sorted(lm.addressable_shards,
+                             key=lambda s: s.index[0].start or 0)
+                lm_np = np.concatenate(
+                    [np.asarray(s.data).reshape(-1) for s in shl])
+            else:
+                lm_np = np.asarray(lm).reshape(-1)
+            sav["lmax0"] = lm_np.astype(np.float64)
         save_setup_payload(setup_cache, sav)
 
     return Preconditioner(build=build, extra=extra,

@@ -124,3 +124,7 @@ def test_two_process_unstructured_matches_single_process(tmp_path):
     np.testing.assert_allclose(rec["history"], hist1, rtol=1e-9,
                                atol=1e-14)
     assert rec["err_local"] < 1e-7
+    # round-4: the fast face-block dssum engages multi-process (pad
+    # maxima via allgather) and the per-process keyed setup cache hits
+    assert rec["fb_active"] is True
+    assert rec["cache_hit"] is True
