@@ -110,7 +110,8 @@ def phase_report(dom, mesh_builder, cfg=None, iterations: int = 10,
     # device-measured region chains (per application of each region)
     ct = {k: _chain_time(dom, pre_full, k, f, iters=chain_iters)
           for k in ("nrm", "op", "dssum", "cnrm", "comp_op", "comp_dssum",
-                    "inner_precond", "tree_cascade", "tree_rhs")}
+                    "inner_precond", "tree_cascade", "tree_rhs",
+                    "inner_smooth", "inner_transfer", "inner_coarse")}
     ki = cfg.inner_iterations
     regions = {
         # outer solve (domain.*, poisson.cpp:259-276). The 'op' chain is
@@ -132,6 +133,14 @@ def phase_report(dom, mesh_builder, cfg=None, iterations: int = 10,
             ct["comp_dssum"] - ct["cnrm"],
         f"subdomain.preconditioner.vcycle legs+coarse (x{ki})":
             ct["inner_precond"] - ct["cnrm"],
+        # V-cycle leg split (the reference's down_leg/coarse_grid_solver/
+        # up_leg regions, poisson.cpp:277-293)
+        f"subdomain.preconditioner.smooth_leg (x{ki}, 1 Chebyshev)":
+            ct["inner_smooth"] - ct["cnrm"],
+        f"subdomain.preconditioner.transfer_legs (x{ki}, R+P)":
+            ct["inner_transfer"] - ct["cnrm"],
+        f"subdomain.preconditioner.coarse_grid_solver (x{ki})":
+            ct["inner_coarse"] - ct["inner_transfer"],
         "subdomain.inner_products+vector_operations (1 dot + 1 scale)":
             ct["cnrm"],
     }

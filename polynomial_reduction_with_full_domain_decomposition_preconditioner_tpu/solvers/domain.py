@@ -408,6 +408,48 @@ class Domain:
                 if apply_mask:
                     U = U * arrays.mask
                 return q, U
+        elif st.structured is not None and self.spmd and self.ragged:
+            # ragged variant: the real top layer sits at a shard-varying
+            # index, so the two boundary layers are computed FIRST
+            # (dynamic slice for the top) to launch the permutes, then
+            # the full apply runs — the 2/S redundant boundary compute
+            # buys exchange/compute overlap on uneven slabs too.
+            # Bitwise-equal to operator + dssum (z-splits element-
+            # aligned; the sent planes are the same values).
+            n_ = st.poly_degree + 1
+            nsh = st.num_shards
+
+            def op_dssum(z, apply_mask=True):
+                top_pl = arrays.layers * n_ - 1           # real top plane
+                hi0 = jnp.maximum(top_pl + 1 - n_, 0)
+                Au_lo = sem.stiffness_apply_lattice(
+                    z[:n_], tuple(g[:n_] for g in arrays.geom),
+                    arrays.D, self.dim)
+                z_hi = jax.lax.dynamic_slice_in_dim(z, hi0, n_, 0)
+                g_hi = tuple(jax.lax.dynamic_slice_in_dim(g, hi0, n_, 0)
+                             for g in arrays.geom)
+                Au_hi = sem.stiffness_apply_lattice(z_hi, g_hi,
+                                                    arrays.D, self.dim)
+                pl_axes = tuple(range(self.dim - 1))
+                plane_lo = gs.lattice_face_sum(Au_lo[0], n_, axes=pl_axes)
+                plane_hi = gs.lattice_face_sum(Au_hi[-1], n_, axes=pl_axes)
+                up = [(i, i + 1) for i in range(nsh - 1)]
+                down = [(i + 1, i) for i in range(nsh - 1)]
+                from_below = jax.lax.ppermute(plane_hi, axis, up)
+                from_above = jax.lax.ppermute(plane_lo, axis, down)
+                # full apply (boundary layers recomputed — element-
+                # aligned, bitwise-equal results), then the exchange adds
+                q = sem.stiffness_apply_lattice(z, arrays.geom,
+                                                arrays.D, self.dim)
+                U = gs.lattice_face_sum(q, n_)
+                U = U.at[0].add(from_below)
+                cur = jax.lax.dynamic_index_in_dim(U, top_pl, 0,
+                                                   keepdims=False)
+                U = jax.lax.dynamic_update_index_in_dim(
+                    U, cur + from_above, top_pl, 0)
+                if apply_mask:
+                    U = U * arrays.mask
+                return q, U
 
         def dot(a, b):
             # pytree/stacked-aware global inner product (krylov contract)
@@ -449,9 +491,12 @@ class Domain:
             precond = precond_builder(arrays, extra,
                                       (operator, dssum, dot, dot2))
         if method == "fcg":
+            fused = getattr(operator, "fused_dssum", None) if overlap \
+                else None
             return krylov.fcg(operator, precond, dssum_plain, dot, dot2, f,
                               max_iterations=max_iterations,
-                              tolerance=tolerance, use_relative=use_relative)
+                              tolerance=tolerance, use_relative=use_relative,
+                              op_dssum=fused)
         if method == "fgmres":
             fused = getattr(operator, "fused_dssum", None) if overlap \
                 else None
@@ -647,7 +692,11 @@ class Domain:
         Outer kinds: 'nrm' (normalize = dot + scale, the measurement
         baseline), 'op' (operator+dssum), 'dssum'. Composite kinds (need
         a composite ``precond`` exposing ``.parts``): 'cnrm', 'comp_op',
-        'comp_dssum', 'inner_precond', 'tree_cascade', 'tree_rhs'.
+        'comp_dssum', 'inner_precond', 'tree_cascade', 'tree_rhs', plus
+        any extra part the preconditioner exposes (the inner='amg'
+        composites add 'inner_smooth' / 'inner_transfer' /
+        'inner_coarse' — the reference's V-cycle leg split,
+        poisson.cpp:277-293).
         """
         builder = precond.build if precond is not None else None
         extra = precond.extra if precond is not None else None
@@ -702,13 +751,16 @@ class Domain:
                 return jax.tree.map(
                     lambda u: u * sc.astype(u.dtype), x)
 
-            step = {
-                "cnrm": cnrm,
-                "comp_op": lambda x: cnrm(parts["comp_operator"](x)),
-                "comp_dssum": lambda x: cnrm(parts["comp_dssum"](x)),
-                "inner_precond":
-                    lambda x: cnrm(parts["inner_precond"](x)),
-            }[kind]
+            if kind == "cnrm":
+                step = cnrm
+            else:
+                part_name = {"comp_op": "comp_operator"}.get(kind, kind)
+                if part_name not in parts:
+                    raise ValueError(
+                        f"phase kind {kind!r}: preconditioner exposes "
+                        f"{sorted(parts)}")
+                part = parts[part_name]
+                step = lambda x: cnrm(part(x))
             x0 = parts["tree_rhs"](f)
             x = jax.lax.fori_loop(0, iters, lambda i, x: step(x), x0)
             return krylov.tree_dot(x, x).astype(jnp.float32)

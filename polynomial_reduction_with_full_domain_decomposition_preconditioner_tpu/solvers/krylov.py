@@ -165,12 +165,25 @@ def _res_norm(r, dssum_plain, dot):
 
 
 def fcg(operator, precond, dssum_plain, dot, dot2, f, *,
-        max_iterations: int, tolerance: float, use_relative: bool = True):
-    """Flexible (Notay) preconditioned CG, mirroring domain.tpp:613-725."""
+        max_iterations: int, tolerance: float, use_relative: bool = True,
+        op_dssum=None):
+    """Flexible (Notay) preconditioned CG, mirroring domain.tpp:613-725.
+
+    op_dssum: optional fused p -> (A p, QQt A p) closure (the boundary-
+    first overlapped operator, Domain._ops). With it, the residual norm
+    uses the linear identity QQt r_{k+1} = QQt r_k - alpha QQt q — the
+    assembled residual is CARRIED and updated from the fused exchange
+    instead of re-assembled, removing one full dssum pass per iteration
+    AND overlapping the remaining exchange with the operator interior.
+    The recurrence drifts from the re-assembled norm only by roundoff
+    (same class as CG's standard residual recurrence); tests pin the
+    histories to tight tolerance.
+    """
     dtype = jax.tree.leaves(f)[0].dtype
     u0 = _zeros_like_tree(f)
     r0 = f
-    r0_norm = _res_norm(r0, dssum_plain, dot)
+    ra0 = dssum_plain(r0)
+    r0_norm = jnp.sqrt(jnp.maximum(dot(r0, ra0), 0.0))
     z0 = precond(r0)
     p0 = z0
 
@@ -185,12 +198,15 @@ def fcg(operator, precond, dssum_plain, dot, dot2, f, *,
     target = tol * r0_norm if use_relative else tol
 
     def cond(state):
-        _, _, _, _, _, it, done, _ = state
+        _, _, _, _, _, _, it, done, _ = state
         return jnp.logical_and(it < max_iterations, jnp.logical_not(done))
 
     def body(state):
-        u, r, z, p, gamma_prev, it, done, hist = state
-        q = operator(p)
+        u, r, ra, z, p, gamma_prev, it, done, hist = state
+        if op_dssum is None:
+            q = operator(p)
+        else:
+            q, qq = op_dssum(p)
         gamma, theta = dot2(z, r, p, q)
         # breakdown guards: an exactly-solved system (common for the
         # fixed-iteration coarse solves) gives gamma = theta = 0; alpha
@@ -198,7 +214,11 @@ def fcg(operator, precond, dssum_plain, dot, dot2, f, *,
         alpha = gamma / jnp.where(theta != 0.0, theta, 1.0)
         u = _axpy(alpha, p, u)
         r_new = _axpy(-alpha, q, r)
-        rn = _res_norm(r_new, dssum_plain, dot)
+        if op_dssum is None:
+            ra_new = dssum_plain(r_new)
+        else:
+            ra_new = _axpy(-alpha, qq, ra)
+        rn = jnp.sqrt(jnp.maximum(dot(r_new, ra_new), 0.0))
         hist = hist.at[it + 1].set(rn)
         now_done = jnp.logical_or(rn < target, jnp.isnan(rn))
         # flexible update (domain.tpp:697-721): z = M r_new,
@@ -208,11 +228,12 @@ def fcg(operator, precond, dssum_plain, dot, dot2, f, *,
         beta = theta2 / jnp.where(gamma != 0.0, gamma, 1.0)
         p_new = _axpy(beta, p, z_new)
         # freeze state if converged this step (values unused afterwards)
-        return (u, r_new, z_new, p_new, gamma, it + 1, now_done, hist)
+        return (u, r_new, ra_new, z_new, p_new, gamma, it + 1, now_done,
+                hist)
 
-    state = (u0, r0, z0, p0, jnp.asarray(1.0, dtype) + seed,
+    state = (u0, r0, ra0, z0, p0, jnp.asarray(1.0, dtype) + seed,
              jnp.asarray(0, jnp.int32), r0_norm < target, hist0)
-    u, r, _, _, _, it, done, hist = jax.lax.while_loop(cond, body, state)
+    u, r, _, _, _, _, it, done, hist = jax.lax.while_loop(cond, body, state)
     last = hist[it]
     converged = jnp.logical_and(last < target,
                                 jnp.logical_not(jnp.isnan(last)))

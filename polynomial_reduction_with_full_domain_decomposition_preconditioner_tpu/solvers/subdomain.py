@@ -932,6 +932,7 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
         groups_x = extra["groups"]
 
         # ---- inner solve: fixed FGMRES (subdomain.tpp:4309-4489) ----
+        vcycle_parts = {}
         if inner == "amg":
             # matrix-free hybrid V-cycle: Chebyshev smoothing on the
             # composite SEM operator itself + vertex-grid stencil chain
@@ -1008,6 +1009,18 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
                     x = cheby_smooth(A_mf, comp_inv_diag, lmax0, fc, x,
                                      cheby_order)
                 return x
+
+            # V-cycle leg closures for the phase taxonomy (the
+            # reference's down_leg/coarse_grid_solver/up_leg split,
+            # poisson.cpp:277-293)
+            vcycle_parts = {
+                "inner_smooth": lambda x: cheby_smooth(
+                    A_mf, comp_inv_diag, lmax0, x, None, cheby_order),
+                "inner_transfer": lambda x: prolong_from_vertex(
+                    restrict_to_vertex(x)),
+                "inner_coarse": lambda x: prolong_from_vertex(
+                    vertex_solve(restrict_to_vertex(x))),
+            }
         elif inner == "fem-amg":
             # the reference's low-order FEM AMG V-cycle (S12/S13,
             # subdomain.tpp:3987-4159), all-device (amg/vcycle.py). The
@@ -1085,6 +1098,7 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
             "comp_operator": comp_operator,
             "comp_dssum": lambda x: comp_dssum(x, apply_mask=True),
             "inner_precond": inner_precond,
+            **vcycle_parts,
         }
         return precond
 

@@ -955,6 +955,7 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
         tree_rhs = ops_c["tree_rhs"]
         tm = jax.tree.map
 
+        vcycle_parts = {}
         if inner == "amg":
             from ..amg.vcycle import cheby_smooth, vcycle_apply
             from ..ops.csr import bsr_spmv
@@ -1009,6 +1010,18 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
                     x = cheby_smooth(A_mf, comp_inv_diag, lmax0, fc, x,
                                      cheby_order)
                 return x
+
+            # V-cycle leg closures for the phase taxonomy
+            # (poisson.cpp:277-293 legs split)
+            vcycle_parts = {
+                "inner_smooth": lambda x: cheby_smooth(
+                    A_mf, comp_inv_diag, lmax0, x, None, cheby_order),
+                "inner_transfer": lambda x: prolong_from_vertex(
+                    restrict_to_vertex(x)),
+                "inner_coarse": lambda x: prolong_from_vertex(
+                    vcycle_apply(amg_x["chain"], restrict_to_vertex(x),
+                                 cheby_order=cheby_order)),
+            }
         elif inner == "jacobi":
             comp_inv_diag = comp_inv_diag_of(ops_c)
 
@@ -1095,6 +1108,7 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
             "comp_operator": comp_operator,
             "comp_dssum": lambda x: comp_dssum(x, apply_mask=True),
             "inner_precond": inner_precond,
+            **vcycle_parts,
         }
         return precond
 

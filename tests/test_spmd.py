@@ -138,23 +138,32 @@ def test_iteration_count_stable_weak_scaling():
     assert max(counts.values()) <= min(counts.values()) + 2, counts
 
 
-def test_overlap_fused_operator_matches():
-    # FGMRES with the fused boundary-first operator + slab exchange
-    # (comm/compute overlap, SURVEY 2.4 north star) must reproduce the
-    # sequential operator->dssum path exactly
+@pytest.mark.parametrize("method", ["fgmres", "fcg"])
+@pytest.mark.parametrize("Pn", [4, 5])
+def test_overlap_fused_operator_matches(method, Pn):
+    # The fused boundary-first operator + slab exchange (comm/compute
+    # overlap, SURVEY 2.4 north star) must reproduce the sequential
+    # operator->dssum path on BOTH outer solvers and on uniform (P=4)
+    # AND ragged (P=5 on 12 layers) partitions. FGMRES consumes the
+    # fused dssum directly (identical math); FCG carries the assembled
+    # residual through the linear recurrence QQt r' = QQt r - alpha QQt q
+    # (roundoff-level drift only).
     mesh = mg.box_mesh((2, 2, 12), 3, extent=(1.0, 1.0, 6.0))
-    sd = partition_mesh(mesh, 4)
+    sd = partition_mesh(mesh, Pn)
     dom = Domain(sd, dtype=jnp.float64,
-                 device_mesh=jax.make_mesh((4,), ("shard",)))
+                 device_mesh=jax.make_mesh((Pn,), ("shard",)))
+    assert (dom.ragged == (Pn == 5))
     u_star = dom.initial_function(4, seed=2)
     f = dom.manufacture_rhs(u_star)
-    r_ov = dom.solver(method="fgmres", max_iterations=60, tolerance=1e-8,
+    r_ov = dom.solver(method=method, max_iterations=250, tolerance=1e-8,
                       overlap=True)(f)
-    r_sq = dom.solver(method="fgmres", max_iterations=60, tolerance=1e-8,
+    r_sq = dom.solver(method=method, max_iterations=250, tolerance=1e-8,
                       overlap=False)(f)
-    assert int(r_ov.iterations) == int(r_sq.iterations)
+    assert abs(int(r_ov.iterations) - int(r_sq.iterations)) <= 1
     h1 = np.asarray(r_ov.residual_history)
     h2 = np.asarray(r_sq.residual_history)
-    k = np.isfinite(h1).sum()
-    # chunked-batch einsum tiling differs at machine eps; identical math
-    np.testing.assert_allclose(h1[:k], h2[:k], rtol=1e-9)
+    k = min(np.isfinite(h1).sum(), np.isfinite(h2).sum())
+    # fgmres: identical math (chunked-einsum tiling differs at machine
+    # eps). fcg: the carried assembled residual drifts by roundoff only
+    rtol = 1e-9 if method == "fgmres" else 1e-6
+    np.testing.assert_allclose(h1[:k], h2[:k], rtol=rtol)
