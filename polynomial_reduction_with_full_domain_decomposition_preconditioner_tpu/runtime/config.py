@@ -85,6 +85,8 @@ class Config:
     manufactured_solution: int = 4     # ids 0-4 (domain.tpp:527-580)
     seed: int = 0
     output: str | None = None          # npz/vtk field dump path
+    output_composite: str | None = None  # composite-region field dump
+    #   (io/fields.save_composite_fields; subdomain.tpp:4649-4791 role)
     phase_report: bool = False         # print the differential phase
     #   table after the solve (runtime/phases.py; poisson.cpp:259-401)
     inner_history: bool = False        # print one preconditioner
@@ -188,6 +190,8 @@ class Config:
                        default=d.manufactured_solution)
         p.add_argument("--seed", type=int, default=d.seed)
         p.add_argument("--output", default=None)
+        p.add_argument("--output-composite", default=None,
+                       help="composite-region field dump path (npz)")
         p.add_argument("--phase-report", action="store_true")
         p.add_argument("--inner-history", action="store_true")
         p.add_argument("--checkpoint", default=None,
@@ -216,5 +220,7 @@ class Config:
             far_coarsen=(a.far_coarsen if a.far_coarsen == "auto"
                          else int(a.far_coarsen)),
             num_shards=a.num_shards, manufactured_solution=a.solution_id,
-            seed=a.seed, output=a.output, phase_report=a.phase_report,
+            seed=a.seed, output=a.output,
+            output_composite=a.output_composite,
+            phase_report=a.phase_report,
             inner_history=a.inner_history, checkpoint=a.checkpoint)

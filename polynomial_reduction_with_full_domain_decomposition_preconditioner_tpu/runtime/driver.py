@@ -280,6 +280,16 @@ def run_simulation(cfg: Config, out=sys.stdout) -> dict:
         save_fields(cfg.output, dom, u=res.u, u_star=u_star, f=f)
         print(f"fields written to {cfg.output}", file=out)
 
+    if cfg.output_composite:
+        if cfg.preconditioner != "composite" or cfg.num_shards != 1:
+            raise ValueError("--output-composite needs the composite "
+                             "preconditioner on a single shard")
+        from ..io.fields import save_composite_fields
+        save_composite_fields(cfg.output_composite, dom, pre,
+                              mesh_builder, f)
+        print(f"composite-region fields written to {cfg.output_composite}",
+              file=out)
+
     if cfg.phase_report and cfg.preconditioner == "composite":
         from .phases import phase_report
         phase_report(dom, mesh_builder, cfg=cfg,

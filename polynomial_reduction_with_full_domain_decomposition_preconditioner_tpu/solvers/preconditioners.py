@@ -35,6 +35,10 @@ class Preconditioner:
     build: Callable[[Any, Any, tuple], Callable]
     extra: Any = None
     _extra_specs: Callable[[str], Any] = field(default=lambda ax: None)
+    # host-side description of the composite regions (group/class orders
+    # + element provenance) for the region field dump
+    # (io/fields.save_composite_fields; subdomain.tpp:4649-4791 role)
+    region_info: Any = None
 
     def extra_specs(self, axis_name: str):
         return self._extra_specs(axis_name)

@@ -1163,5 +1163,16 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
         else:
             extra["amg"]["lmax0"] = jax.jit(_lmax_impl)(core)
 
-    return Preconditioner(build=build, extra=extra,
-                          _extra_specs=extra_specs)
+    return Preconditioner(
+        build=build, extra=extra, _extra_specs=extra_specs,
+        # region provenance for the composite field dump
+        # (io/fields.save_composite_fields; subdomain.tpp:4649-4791)
+        region_info={
+            "kind": "structured",
+            "orders": [g.order for g in groups],
+            "zcoarse": [g.zcoarse for g in groups],
+            "layers": [g.layers for g in groups],
+            "plane_shape": tuple(plane_shape),
+            "phys": {p_: [list(ph) for ph in phys_lists[p_]]
+                     for p_ in shard_list},
+        })

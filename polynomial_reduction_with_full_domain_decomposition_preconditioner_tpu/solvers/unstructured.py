@@ -1196,5 +1196,14 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
             sav["lmax0"] = lm_np.astype(np.float64)
         save_setup_payload(setup_cache, sav)
 
-    return Preconditioner(build=build, extra=extra,
-                          _extra_specs=extra_specs)
+    return Preconditioner(
+        build=build, extra=extra, _extra_specs=extra_specs,
+        # region provenance for the composite field dump (the payload
+        # path has no element lists — dumping needs a fresh setup)
+        region_info=(None if payload is not None else {
+            "kind": "unstructured",
+            "orders": list(orders),
+            "elems": {p_: [class_elems[c][p_] for c in range(C)]
+                      for p_ in (list(sd.owned) if sd.owned
+                                 else range(Pn))},
+        }))

@@ -309,3 +309,21 @@ def test_inner_history_probe():
     assert "inner iteration:   4" in text  # 4 fixed inner iterations
     # per-shard timing vectors in the reference's report schema
     assert "mean:" in text and "[ " in text
+
+
+def test_composite_region_field_dump(tmp_path):
+    # the reference dumps the subdomain/superdomain composite fields for
+    # visualization (subdomain.tpp:4649-4791); --output-composite is the
+    # npz equivalent (per-group values + regenerated coordinates)
+    from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.runtime.config import Config
+    from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.runtime.driver import run_simulation
+    import io as _io
+    path = str(tmp_path / "comp.npz")
+    cfg = Config(mesh="kershaw", shape=(4, 4, 4), poly_degree=3,
+                 poly_reduction=2, max_iterations=40,
+                 output_composite=path)
+    rec = run_simulation(cfg, out=_io.StringIO())
+    assert rec["converged"]
+    z = np.load(path)
+    assert "group0_values" in z and "group0_coords" in z
+    assert z["group0_values"].shape + (3,) == z["group0_coords"].shape
