@@ -36,6 +36,7 @@ def main():
     cheby = int(sys.argv[6]) if len(sys.argv) > 6 else 2
     nvc = int(sys.argv[7]) if len(sys.argv) > 7 else 1
     inner_solver = sys.argv[8] if len(sys.argv) > 8 else "fgmres"
+    ptype_s = sys.argv[9] if len(sys.argv) > 9 else "bf16"
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -62,8 +63,9 @@ def main():
           file=sys.stderr)
 
     t0 = time.time()
+    ptype = {"bf16": jnp.bfloat16, "f32": jnp.float32}[ptype_s]
     pre = sub.composite_dd(
-        dom, builder, poly_reduction=6, inner="amg", ptype=jnp.bfloat16,
+        dom, builder, poly_reduction=6, inner="amg", ptype=ptype,
         num_iterations=inner_iters, fine_mesh=mesh,
         inner_solver=inner_solver,
         cheby_order=cheby, num_vcycles=nvc,
@@ -134,7 +136,7 @@ def main():
         "mesh": f"kershaw eps={eps} {m}^3 N=7 r=6",
         "points": mesh.num_points,
         "solver": (f"{method}" + (f"({nv})" if method != "fcg" else "")
-                   + f" + composite(bf16, inner "
+                   + f" + composite({ptype_s}, inner "
                    f"{'FCG' if inner_solver == 'fcg' else 'GMRES'}"
                    f"({inner_iters}), cheby {cheby}, {nvc} vcycle)"),
         "iterations": its,
@@ -155,6 +157,8 @@ def main():
     tag = "" if method == "fcg" else f"_{method}{nv}i{inner_iters}"
     if inner_solver != "fgmres":
         tag += f"_is{inner_solver}"
+    if ptype_s != "bf16":
+        tag += f"_pt{ptype_s}"
     if eps != 0.3:
         tag += f"_e{eps}"
     if (cheby, nvc) != (2, 1):

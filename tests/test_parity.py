@@ -61,8 +61,9 @@ def test_cg_iteration_parity_vs_scipy():
             break
         p = r + (rz_new / rz) * p
         rz = rz_new
-    # FCG on the same operator must converge within ~25% of plain CG
-    assert abs(ours - oracle) <= max(3, int(0.25 * oracle)), (ours, oracle)
+    # FCG on the same operator must converge within ~15% of plain CG
+    # (deterministic oracle; round-3 VERDICT asked for a tighter bound)
+    assert abs(ours - oracle) <= max(3, int(0.15 * oracle)), (ours, oracle)
 
 
 def test_fgmres_history_matches_scipy_gmres():
@@ -88,8 +89,9 @@ def test_fgmres_history_matches_scipy_gmres():
 
     spla.gmres(A, b, rtol=1e-8, restart=30, maxiter=300, callback=cb,
                callback_type="pr_norm")
-    # same restart length, same tolerance: iteration counts within 25%
+    # same restart length, same tolerance: iteration counts within 15%
+    # (deterministic oracle; round-3 VERDICT asked for a tighter bound)
     assert abs(len(hist) - len(oracle_hist)) <= max(
-        4, int(0.25 * len(oracle_hist))), (len(hist), len(oracle_hist))
+        4, int(0.15 * len(oracle_hist))), (len(hist), len(oracle_hist))
     rep = compare_histories(hist, oracle_hist, rtol=0.5)
     assert rep["max_log_rel_dev"] < 0.5, rep
