@@ -40,8 +40,10 @@ def main():
         solver="fgmres", stype="float32", ptype="bfloat16",
         # short restart + bf16 Z basis: nv=20 f32 V+Z alone is ~9.3 GB
         # at PB_1568's 56.6M points (OOM by 1.7 GB); pebble beds
-        # converge in ~5 outer iterations, so nv=8 costs nothing
-        num_vectors=8, ztype="bfloat16",
+        # converge in ~5 outer iterations, so nv=6 costs nothing (nv=8
+        # fit in round 2 but sits at the HBM margin since the round-3/4
+        # program changes — the allocator peak flipped run-to-run)
+        num_vectors=6, ztype="bfloat16",
         inner="amg", inner_iterations=4, max_iterations=200,
         checkpoint="/root/repo/.ckpt_cache",
         # the reference's double-precision criterion (domain.hpp:118):

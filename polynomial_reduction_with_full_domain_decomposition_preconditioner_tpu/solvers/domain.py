@@ -228,10 +228,11 @@ class Domain:
             layer_counts = np.zeros((n_own,), dtype=np.int32)
             self.ragged = False
 
-        if sharded.structured is not None:
-            # the structured lattice path never touches the generic
-            # gather/scatter plan — placeholders save ~0.9 GB of HBM at
-            # 64^3 N=7 (gather_ids alone is one int32 per point)
+        if sharded.structured is not None or fb_stacked is not None:
+            # the structured lattice path and the face-block unstructured
+            # path never touch the generic gather/scatter plan —
+            # placeholders save ~0.9 GB of HBM at 64^3 N=7 (gather_ids
+            # alone is one int32 per point; ~0.3 GB at PB_1568)
             gather_ids = np.zeros((n_own, 1), dtype=np.int32)
             inv_degree = np.zeros((n_own, 1))
         else:
