@@ -37,6 +37,7 @@ def main():
     nvc = int(sys.argv[7]) if len(sys.argv) > 7 else 1
     inner_solver = sys.argv[8] if len(sys.argv) > 8 else "fgmres"
     ptype_s = sys.argv[9] if len(sys.argv) > 9 else "bf16"
+    refine = not (len(sys.argv) > 10 and sys.argv[10] == "norefine")
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -116,21 +117,32 @@ def main():
     # relative residual < 1e-7 in double): f64 side on the HOST
     # (solvers/host_oracle.py) — f64 geometry is 6.4 GB at 64^3 and
     # does not fit next to the resident f32 solver
-    from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.solvers.host_oracle import (
-        HostOperator, host_refine_solve)
-    t0 = time.time()
-    host = HostOperator(mesh)
-    u_star64 = np.asarray(u_star, dtype=np.float64).reshape(-1)
-    f64h = host.apply(u_star64)
-    rr = host_refine_solve(
-        host, dom, solve, f64h, tolerance=1e-7,
-        verbose=lambda c, rel: print(
-            f"refinement cycle {c}: rel_res={rel:.3e}", file=sys.stderr))
-    t_refine = time.time() - t0
-    err64 = float(np.abs(rr.u - u_star64).max())
-    print(f"f64 refinement: rel_res={rr.rel_residual:.3e} cycles="
-          f"{rr.cycles} max|u-u*|={err64:.3e} converged={rr.converged} "
-          f"({t_refine:.1f}s)", file=sys.stderr)
+    refined = {}
+    if refine:
+        from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.solvers.host_oracle import (
+            HostOperator, host_refine_solve)
+        t0 = time.time()
+        host = HostOperator(mesh)
+        u_star64 = np.asarray(u_star, dtype=np.float64).reshape(-1)
+        f64h = host.apply(u_star64)
+        rr = host_refine_solve(
+            host, dom, solve, f64h, tolerance=1e-7,
+            verbose=lambda c, rel: print(
+                f"refinement cycle {c}: rel_res={rel:.3e}",
+                file=sys.stderr))
+        t_refine = time.time() - t0
+        err64 = float(np.abs(rr.u - u_star64).max())
+        print(f"f64 refinement: rel_res={rr.rel_residual:.3e} cycles="
+              f"{rr.cycles} max|u-u*|={err64:.3e} converged={rr.converged} "
+              f"({t_refine:.1f}s)", file=sys.stderr)
+        refined = {
+            "refined_rel_residual": rr.rel_residual,
+            "refined_cycles": rr.cycles,
+            "refined_inner_iterations": rr.inner_iterations,
+            "refined_max_error": err64,
+            "refined_converged": rr.converged,
+            "refine_seconds": round(t_refine, 1),
+        }
 
     rec = {
         "mesh": f"kershaw eps={eps} {m}^3 N=7 r=6",
@@ -147,12 +159,7 @@ def main():
         "first_solve_seconds": round(t_first, 2),
         "setup_mesh_seconds": round(t_mesh, 1),
         "setup_preconditioner_seconds": round(t_pre, 1),
-        "refined_rel_residual": rr.rel_residual,
-        "refined_cycles": rr.cycles,
-        "refined_inner_iterations": rr.inner_iterations,
-        "refined_max_error": err64,
-        "refined_converged": rr.converged,
-        "refine_seconds": round(t_refine, 1),
+        **refined,
     }
     tag = "" if method == "fcg" else f"_{method}{nv}i{inner_iters}"
     if inner_solver != "fgmres":

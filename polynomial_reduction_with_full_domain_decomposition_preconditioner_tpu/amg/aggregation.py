@@ -173,11 +173,40 @@ def _aggregate(A: sp.csr_matrix, active: np.ndarray, theta: float = 0.08):
     return agg, na
 
 
+def filter_small_entries(A: sp.csr_matrix, tol: float) -> sp.csr_matrix:
+    """Sparsify with diagonal compensation: drop off-diagonal entries
+    |a_ij| < tol * sqrt(|a_ii a_jj|) and LUMP the dropped mass onto the
+    diagonal (row sums — hence the action on constants — are preserved).
+    Standard stencil-growth control for smoothed-aggregation Galerkin
+    products: without it, coarse SA matrices on simplicial FEM problems
+    densify level-over-level (measured: 8.5M -> 28M nnz while rows
+    shrink 614k -> 7.7k, and the next RAP grinds for an hour)."""
+    if tol <= 0.0:
+        return A
+    A = A.tocsr()
+    d = np.sqrt(np.abs(A.diagonal()) + 1e-300)
+    coo = A.tocoo()
+    thr = tol * d[coo.row] * d[coo.col]
+    keep = (np.abs(coo.data) >= thr) | (coo.row == coo.col)
+    dropped = np.zeros(A.shape[0])
+    np.add.at(dropped, coo.row[~keep], coo.data[~keep])
+    Af = sp.csr_matrix(
+        (coo.data[keep], (coo.row[keep], coo.col[keep])), shape=A.shape)
+    Af = (Af + sp.diags(dropped)).tocsr()
+    Af.sum_duplicates()
+    return Af
+
+
 def aggregation_chain(A0: sp.csr_matrix, vmask: np.ndarray,
                       max_coarse: int = 600, theta: float = 0.08,
-                      omega: float = 2.0 / 3.0, max_levels: int = 12):
+                      omega: float = 2.0 / 3.0, max_levels: int = 12,
+                      filter_tol: float = 0.0):
     """Smoothed-aggregation hierarchy: returns a dict with mats, prolongs,
-    lmaxs, coarse_inv (the coarsen_chain_info schema minus grid shapes)."""
+    lmaxs, coarse_inv (the coarsen_chain_info schema minus grid shapes).
+
+    filter_tol > 0 applies diagonal-compensated sparsification to every
+    Galerkin product (see filter_small_entries) — required for large
+    simplicial-FEM fine matrices (the unstructured fem-amg oracle)."""
     info = {"mats": [A0.tocsr()], "prolongs": [], "lmaxs": [],
             "coarse_inv": None}
     A = A0.tocsr()
@@ -186,7 +215,9 @@ def aggregation_chain(A0: sp.csr_matrix, vmask: np.ndarray,
         if A.shape[0] <= max_coarse:
             break
         agg, na = _aggregate(A, active, theta=theta)
-        if na == 0 or na >= A.shape[0]:
+        if na == 0 or na >= 0.95 * A.shape[0]:
+            # coarsening stalled (filtered matrices go near-diagonal at
+            # the coarse end): stop and let the dense solve take over
             break
         sel = agg >= 0
         P0 = sp.csr_matrix(
@@ -200,6 +231,7 @@ def aggregation_chain(A0: sp.csr_matrix, vmask: np.ndarray,
         P = (P0 - (omega / lmax) * (invd @ (A @ P0))).tocsr()
         Ac = (P.T @ A @ P).tocsr()
         Ac.sum_duplicates()
+        Ac = filter_small_entries(Ac, filter_tol)
         info["lmaxs"].append(lmax)
         info["prolongs"].append(P)
         info["mats"].append(Ac)

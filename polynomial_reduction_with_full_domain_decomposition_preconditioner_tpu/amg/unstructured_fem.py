@@ -214,7 +214,11 @@ def build_unstructured_fem_shard(orders, mesh_by_order, class_elems_p,
     A0 = _mask_fold(A0, dof_mask)
 
     # ---- hierarchy (BoomerAMG role, subdomain.tpp:3482-3489) ----
-    chain = aggregation_chain(A0, dof_mask, max_coarse=max_coarse)
+    # filter_tol: diagonal-compensated sparsification of the Galerkin
+    # products — Kuhn-tet fine matrices densify catastrophically under
+    # plain SA coarsening (amg/aggregation.filter_small_entries)
+    chain = aggregation_chain(A0, dof_mask, max_coarse=max_coarse,
+                              filter_tol=0.02)
 
     # ---- composite points (+ sup DOFs) <-> DOF map Q ----
     q_rows = []
