@@ -190,9 +190,15 @@ def filter_small_entries(A: sp.csr_matrix, tol: float) -> sp.csr_matrix:
     keep = (np.abs(coo.data) >= thr) | (coo.row == coo.col)
     dropped = np.zeros(A.shape[0])
     np.add.at(dropped, coo.row[~keep], coo.data[~keep])
+    # clamp: stiffness rows sum to ~0, so a row whose off-diagonals ALL
+    # drop would lump to a ZERO diagonal (singular coarse solve) — keep
+    # at least 10% of the original diagonal magnitude
+    diag = A.diagonal()
+    comp = np.where(np.abs(diag + dropped) >= 0.1 * np.abs(diag),
+                    dropped, -0.9 * diag)
     Af = sp.csr_matrix(
         (coo.data[keep], (coo.row[keep], coo.col[keep])), shape=A.shape)
-    Af = (Af + sp.diags(dropped)).tocsr()
+    Af = (Af + sp.diags(comp)).tocsr()
     Af.sum_duplicates()
     return Af
 
@@ -237,7 +243,11 @@ def aggregation_chain(A0: sp.csr_matrix, vmask: np.ndarray,
         info["mats"].append(Ac)
         A = Ac
         active = np.ones(A.shape[0], dtype=bool)
-    info["coarse_inv"] = np.linalg.inv(info["mats"][-1].toarray())
+    dense = info["mats"][-1].toarray()
+    try:
+        info["coarse_inv"] = np.linalg.inv(dense)
+    except np.linalg.LinAlgError:        # pragma: no cover - safety net
+        info["coarse_inv"] = np.linalg.pinv(dense)
     return info
 
 
