@@ -220,10 +220,16 @@ def aggregation_chain(A0: sp.csr_matrix, vmask: np.ndarray,
     for _ in range(max_levels):
         if A.shape[0] <= max_coarse:
             break
-        agg, na = _aggregate(A, active, theta=theta)
+        # stalled coarsening (filtered matrices can go near-diagonal,
+        # strong-neighbor sets empty out, aggregates become singletons):
+        # retry with progressively weaker strength thresholds — any
+        # remaining coupling is better than a 100k-row "coarsest" level
+        th = theta
+        agg, na = _aggregate(A, active, theta=th)
+        while na >= 0.95 * A.shape[0] and th > theta / 300.0:
+            th /= 8.0
+            agg, na = _aggregate(A, active, theta=th)
         if na == 0 or na >= 0.95 * A.shape[0]:
-            # coarsening stalled (filtered matrices go near-diagonal at
-            # the coarse end): stop and let the dense solve take over
             break
         sel = agg >= 0
         P0 = sp.csr_matrix(
@@ -237,12 +243,21 @@ def aggregation_chain(A0: sp.csr_matrix, vmask: np.ndarray,
         P = (P0 - (omega / lmax) * (invd @ (A @ P0))).tocsr()
         Ac = (P.T @ A @ P).tocsr()
         Ac.sum_duplicates()
-        Ac = filter_small_entries(Ac, filter_tol)
+        if Ac.nnz > 45 * Ac.shape[0]:
+            # filter only when stencils actually grow — over-filtering
+            # well-behaved levels destroys the couplings aggregation
+            # needs (measured on pebble-bed FEM: a 149k-row stall)
+            Ac = filter_small_entries(Ac, filter_tol)
         info["lmaxs"].append(lmax)
         info["prolongs"].append(P)
         info["mats"].append(Ac)
         A = Ac
         active = np.ones(A.shape[0], dtype=bool)
+    n_last = info["mats"][-1].shape[0]
+    if n_last > 40 * max_coarse:
+        raise RuntimeError(
+            f"aggregation stalled with a {n_last}-row coarsest level "
+            f"(max_coarse={max_coarse}) — refusing the dense inverse")
     dense = info["mats"][-1].toarray()
     try:
         info["coarse_inv"] = np.linalg.inv(dense)
