@@ -30,9 +30,11 @@ def main():
         base.update(mesh="kershaw", shape=(16, 16, 16), epsilon=0.3,
                     scramble=7)
     elif tag == "pb146":
+        # bf16 fem tree + short restart: the assembled 118M-nnz level-0
+        # BSR is the HBM driver at this size (the hybrid needs none)
         base.update(mesh="pebble", shape=(32, 32, 32), num_pebbles=146,
-                    solid_fraction=0.2, mesh_seed=5,
-                    num_vectors=8, ztype="bfloat16")
+                    solid_fraction=0.2, mesh_seed=5, ptype="bfloat16",
+                    num_vectors=6, ztype="bfloat16")
     else:
         raise SystemExit(f"unknown tag {tag}")
 

@@ -666,9 +666,15 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
         from ..ops.csr import bsr_stack as _bstack
         owned_l = list(sd.owned) if sd.owned else list(range(Pn))
         nlev_f = len(fem_host[0]["chain"]["mats"])
+        # block-8 packing for multi-million-row fem matrices: simplicial
+        # FEM patterns fill 16x16 blocks poorly and the padded values
+        # array alone OOM'd HBM at PB_146 (9.45M DOFs, 118M nnz)
+        _fb = 8 if fem_host[0]["chain"]["mats"][0].shape[0] > 4_000_000 \
+            else 16
 
         def _stk(mats):
-            return sh_bsr(_bstack(mats, dtype=dtype, select=owned_l))
+            return sh_bsr(_bstack(mats, block=_fb, dtype=dtype,
+                                  select=owned_l))
 
         def _arr(xs, dt=dtype):
             return sh(np.stack([np.asarray(xs[p]) for p in owned_l]),
