@@ -51,7 +51,10 @@ def main():
 
     out = {}
     for k in ("nrm", "op", "dssum", "cnrm", "comp_op", "comp_dssum",
-              "inner_precond", "tree_cascade", "tree_rhs"):
+              "inner_precond", "tree_cascade", "tree_rhs",
+              # round-5 sub-kinds (P=1: tree legs are degenerate but the
+              # assemble half is the real gather cost)
+              "tree_rings", "tree_coarse", "comp_assemble"):
         t0 = time.time()
         out[k] = _chain_time(dom, pre, k, f, iters=8, repeats=3)
         print(f"{k}: {out[k]*1e3:.2f} ms/application "

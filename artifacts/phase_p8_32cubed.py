@@ -70,7 +70,9 @@ def main():
 
     kinds = ("nrm", "op", "dssum", "cnrm", "comp_op", "comp_dssum",
              "inner_precond", "tree_cascade", "tree_rhs",
-             "inner_smooth", "inner_transfer", "inner_coarse")
+             "inner_smooth", "inner_transfer", "inner_coarse",
+             # round-5 sub-kinds: tree-exchange legs + assemble half
+             "tree_rings", "tree_coarse", "comp_assemble")
     ct = {}
     for k in kinds:
         t0 = time.time()
@@ -99,6 +101,19 @@ def main():
         "subdomain.preconditioner.coarse_grid_solver":
             ct["inner_coarse"] - ct["inner_transfer"],
         "subdomain.inner_products+vector_operations": ct["cnrm"],
+        # round-5 splits (poisson.cpp:259-358 one-for-one): tree
+        # exchange legs + assemble/unassemble halves
+        "subdomain.tree_exchange.rings (ppermute legs)":
+            ct["tree_rings"] - ct["tree_cascade"],
+        "subdomain.tree_exchange.coarse (all_gather)":
+            ct["tree_coarse"] - ct["tree_cascade"],
+        "subdomain.tree_exchange.superdomain (far restrict)":
+            (ct["tree_rhs"] - ct["tree_rings"]
+             - ct["tree_coarse"] + ct["tree_cascade"]),
+        "subdomain.preconditioner.assemble (gather half)":
+            ct["comp_assemble"] - ct["cnrm"],
+        "subdomain.preconditioner.unassemble (scatter+stitch half)":
+            ct["comp_dssum"] - ct["comp_assemble"],
     }
     regions = {k: max(v, 0.0) for k, v in regions.items()}
     for k, v in regions.items():

@@ -217,6 +217,7 @@ def aggregation_chain(A0: sp.csr_matrix, vmask: np.ndarray,
             "coarse_inv": None}
     A = A0.tocsr()
     active = vmask > 0.5
+    slow_budget = 2
     for level in range(max_levels):
         if A.shape[0] <= max_coarse:
             break
@@ -229,8 +230,17 @@ def aggregation_chain(A0: sp.csr_matrix, vmask: np.ndarray,
         while na >= 0.95 * A.shape[0] and th > theta / 300.0:
             th /= 8.0
             agg, na = _aggregate(A, active, theta=th)
-        if na == 0 or na >= 0.95 * A.shape[0]:
+        if na == 0 or na >= A.shape[0]:
             break
+        if na >= 0.95 * A.shape[0]:
+            # slow but real coarsening (na in [0.95n, n) after every
+            # theta retry): accept a bounded number of such levels —
+            # they still shrink the problem, and hard-stopping here used
+            # to leave a huge "coarsest" level that tripped the dense
+            # guard below on legitimate hierarchies
+            slow_budget -= 1
+            if slow_budget < 0:
+                break
         sel = agg >= 0
         P0 = sp.csr_matrix(
             (np.ones(int(sel.sum())), (np.flatnonzero(sel), agg[sel])),

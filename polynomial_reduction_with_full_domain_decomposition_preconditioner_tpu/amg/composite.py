@@ -450,9 +450,14 @@ def build_composite_hierarchy(groups, mesh_by_order, plane_shape, m_last: int,
         for ps, Ld in zip(plane_shape, lat_shape[1:]):
             li = np.arange(Ld)
             maps.append((li // n_o) * o + (li % n_o))
-        blk0 = int(blk_of[gi][blk_of[gi] >= 0][0])
-        shp = grid_shapes[blk0]
-        plane_sz = int(np.prod(shp[1:]))
+        real = blk_of[gi][blk_of[gi] >= 0]
+        if real.size == 0:
+            # a group made entirely of pad slots (extreme ragged shard):
+            # every lattice node maps to the zero row — plane_sz is
+            # irrelevant, any block's in-plane shape works
+            plane_sz = 1
+        else:
+            plane_sz = int(np.prod(grid_shapes[int(real[0])][1:]))
         if dim == 3:
             gy = maps[1][:, None]
             gx = maps[2][None, :]

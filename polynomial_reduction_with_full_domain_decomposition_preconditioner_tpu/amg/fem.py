@@ -12,9 +12,11 @@ solve path consumes the assembled CSR through amg/vcycle.py. Deviations
 from the reference (documented capability-equivalent choices):
 
 - The reference uses the exact SEM Q1 element matrix for order-1 elements
-  (subdomain.tpp:3040-3125); we use the same simplicial P1 assembly at all
-  orders. Both are spectrally equivalent low-order operators; convergence
-  parity is established by the iteration-count tests.
+  (subdomain.tpp:3040-3125). Round 4 matched that: order-1 blocks use the
+  exact SEM-Q1 assembly (amg/composite._q1_layer_grid_matrix,
+  amg/aggregation.q1_vertex_matrix); orders >= 2 use the simplicial P1
+  assembly below. Swapping exact Q1 in left iteration counts identical
+  (BASELINE.md) — both are spectrally equivalent low-order operators.
 - Simplex subdivision is the Kuhn/Freudenthal triangulation (all tets share
   the cell main diagonal), which is face-consistent across neighboring
   cells of a structured grid.

@@ -262,11 +262,15 @@ def pad_fem_shards(shards: list[dict], ns_pad: int = 0) -> list[dict]:
     # extend short chains with identity transfers (A repeated)
     for s in shards:
         ch = s["chain"]
+        extended = len(ch["mats"]) < nlev
         while len(ch["mats"]) < nlev:
             nl = ch["mats"][-1].shape[0]
             ch["prolongs"].append(sp.eye(nl, format="csr"))
             ch["lmaxs"].append(ch["lmaxs"][-1] if ch["lmaxs"] else 1.0)
             ch["mats"].append(ch["mats"][-1].copy())
+        if extended:
+            # the repeated coarsest matrix is identical at every added
+            # level — one inverse suffices (coarsest can be ~10k rows)
             ch["coarse_inv"] = np.linalg.inv(ch["mats"][-1].toarray())
     sizes = [max(s["chain"]["mats"][l].shape[0] for s in shards)
              for l in range(nlev)]
@@ -284,8 +288,6 @@ def pad_fem_shards(shards: list[dict], ns_pad: int = 0) -> list[dict]:
                     shape=(sizes[l], sizes[l]))
                 A = (A + pad).tocsr()
             ch["mats"][l] = A
-            if l < nlev:
-                pass
         for l in range(nlev - 1):
             Pm = ch["prolongs"][l].tocsr(copy=True)
             Pm.resize((sizes[l], sizes[l + 1]))

@@ -15,15 +15,19 @@ __all__ = ["save_fields", "save_vtk", "save_composite_fields"]
 
 
 def save_composite_fields(path: str, dom, pre, mesh_builder, r):
-    """Dump one shard's COMPOSITE-REGION fields for visualization — the
-    reference's subdomain/superdomain output (subdomain.tpp:4649-4791):
-    the composite right-hand side tree_rhs(r) seen by the inner solve,
-    one array per order group/class, with nodal coordinates regenerated
-    from the mesh builder at each group's order. Single-device runs
-    (the reference likewise dumps per-rank Silo files).
+    """Dump COMPOSITE-REGION fields for visualization — the reference's
+    subdomain/superdomain output (subdomain.tpp:4649-4791): the composite
+    right-hand side tree_rhs(r) seen by the inner solve, one array per
+    order group/class, with nodal coordinates regenerated from the mesh
+    builder at each group's order.
+
+    Single-device runs write one npz. SPMD runs write one npz PER OWNED
+    SHARD with suffix ``_s{p}`` (the reference likewise dumps per-rank
+    Silo files); each shard's composite covers the whole global domain.
 
     Writes npz with group{i}_{values,coords,order} arrays (+ sup_values
-    for the algebraic superdomain DOF vector when present).
+    for the algebraic superdomain DOF vector when present). Returns the
+    dict written (last shard's in SPMD runs).
     """
     import jax
     info = pre.region_info
@@ -31,16 +35,43 @@ def save_composite_fields(path: str, dom, pre, mesh_builder, r):
         raise ValueError("preconditioner carries no region_info (cached "
                          "unstructured setups skip it — rebuild without "
                          "the setup cache to dump regions)")
-    if dom.spmd:
-        raise NotImplementedError("composite field dump is single-device")
 
     def impl(arrays, extra, rr):
         ops = dom._ops(arrays)
         fn = pre.build(arrays, extra, ops)
         return fn.parts["tree_rhs"](rr)
 
-    parts = jax.jit(impl)(dom.arrays, pre.extra, r)
-    out = {"kind": info["kind"], "orders": np.asarray(info["orders"])}
+    if dom.spmd:
+        from jax.sharding import PartitionSpec as P
+        from ..solvers.domain import _specs, _squeeze_shard
+        ax = dom.axis_name
+        specs = pre.extra_specs(ax)
+
+        def spmd_impl(arrays, extra_x, rr):
+            parts = impl(_squeeze_shard(arrays),
+                         dom._squeeze_extra(extra_x, specs), rr[0])
+            return [p[None] for p in parts]
+
+        parts_g = jax.jit(jax.shard_map(
+            spmd_impl, mesh=dom.device_mesh,
+            in_specs=(_specs(ax, dom.arrays), specs, P(ax)),
+            out_specs=P(ax)))(dom.arrays, pre.extra, r)
+
+        def parts_of_shard(p):
+            out = []
+            for arr in parts_g:
+                sh = [s for s in arr.addressable_shards
+                      if (s.index[0].start or 0) == p]
+                out.append(np.asarray(sh[0].data)[0])
+            return out
+
+        owned = list(dom.sharded.owned) if dom.sharded.owned \
+            else list(range(dom.sharded.num_shards))
+        shard_sets = [(p, parts_of_shard(p)) for p in owned]
+    else:
+        parts = jax.jit(impl)(dom.arrays, pre.extra, r)
+        shard_sets = [(None, [np.asarray(p) for p in parts])]
+
     mesh_cache = {}
 
     def mesh_at(o):
@@ -48,46 +79,51 @@ def save_composite_fields(path: str, dom, pre, mesh_builder, r):
             mesh_cache[o] = mesh_builder(o)
         return mesh_cache[o]
 
-    if info["kind"] == "structured":
-        from ..mesh.layout import elements_to_lattice
-        plane_shape = tuple(info["plane_shape"])
-        plane = int(np.prod(plane_shape))
-        phys = info["phys"][sorted(info["phys"])[0]]
-        for gi, o in enumerate(info["orders"]):
-            vals = np.asarray(parts[gi])
-            out[f"group{gi}_values"] = vals
-            out[f"group{gi}_order"] = o
-            if info["zcoarse"][gi] != 1:
-                continue    # z-merged far mesh: geometry not dumped
-            mesh_o = mesh_at(o)
-            n_o = o + 1
-            rows = []
-            for q in phys[gi]:
-                if q < 0:
-                    rows.append(np.zeros((n_o,) + vals.shape[1:]
-                                         + (dom.dim,)))
-                    continue
-                lat = elements_to_lattice(
-                    mesh_o.coords[q * plane:(q + 1) * plane],
-                    (1,) + plane_shape, n_o, dom.dim)
-                rows.append(lat)
-            out[f"group{gi}_coords"] = np.concatenate(rows, axis=0)
-    else:
-        C = len(info["orders"])
-        elems = info["elems"][sorted(info["elems"])[0]]
-        for c, o in enumerate(info["orders"]):
-            vals = np.asarray(parts[c])
-            out[f"group{c}_values"] = vals
-            out[f"group{c}_order"] = o
-            mesh_o = mesh_at(o)
-            e = elems[c]
-            safe = np.where(e >= 0, e, 0)
-            coords = mesh_o.coords[safe] * (e >= 0)[:, None, None]
-            out[f"group{c}_coords"] = coords
-        if len(parts) > C:
-            out["sup_values"] = np.asarray(parts[C])
-    np.savez_compressed(path if path.endswith(".npz") else path + ".npz",
-                        **out)
+    base = path[:-4] if path.endswith(".npz") else path
+    for p, parts in shard_sets:
+        out = {"kind": info["kind"], "orders": np.asarray(info["orders"])}
+        key = sorted(info["phys" if info["kind"] == "structured"
+                     else "elems"])[0] if p is None else p
+        if info["kind"] == "structured":
+            from ..mesh.layout import elements_to_lattice
+            plane_shape = tuple(info["plane_shape"])
+            plane = int(np.prod(plane_shape))
+            phys = info["phys"][key]
+            for gi, o in enumerate(info["orders"]):
+                vals = np.asarray(parts[gi])
+                out[f"group{gi}_values"] = vals
+                out[f"group{gi}_order"] = o
+                if info["zcoarse"][gi] != 1:
+                    continue    # z-merged far mesh: geometry not dumped
+                mesh_o = mesh_at(o)
+                n_o = o + 1
+                rows = []
+                for q in phys[gi]:
+                    if q < 0:
+                        rows.append(np.zeros((n_o,) + vals.shape[1:]
+                                             + (dom.dim,)))
+                        continue
+                    lat = elements_to_lattice(
+                        mesh_o.coords[q * plane:(q + 1) * plane],
+                        (1,) + plane_shape, n_o, dom.dim)
+                    rows.append(lat)
+                out[f"group{gi}_coords"] = np.concatenate(rows, axis=0)
+        else:
+            C = len(info["orders"])
+            elems = info["elems"][key]
+            for c, o in enumerate(info["orders"]):
+                vals = np.asarray(parts[c])
+                out[f"group{c}_values"] = vals
+                out[f"group{c}_order"] = o
+                mesh_o = mesh_at(o)
+                e = elems[c]
+                safe = np.where(e >= 0, e, 0)
+                coords = mesh_o.coords[safe] * (e >= 0)[:, None, None]
+                out[f"group{c}_coords"] = coords
+            if len(parts) > C:
+                out["sup_values"] = np.asarray(parts[C])
+        fname = (f"{base}.npz" if p is None else f"{base}_s{p}.npz")
+        np.savez_compressed(fname, **out)
     return out
 
 

@@ -70,14 +70,16 @@ def _build_preconditioner(cfg: Config, dom, mesh_builder, fine_mesh=None):
 
     if cfg.preconditioner == "composite":
         chain_cache = None
-        if cfg.checkpoint and cfg.inner == "amg":
+        if cfg.checkpoint and cfg.inner in ("amg", "fem-amg"):
             import os
             if cfg.scramble is None and cfg.mesh != "pebble":
-                # structured path: vertex-chain checkpoint
-                chain_cache = os.path.join(
-                    cfg.checkpoint,
-                    f"chain_{cfg.mesh}_{'x'.join(map(str, cfg.shape))}"
-                    f"_e{cfg.epsilon}_mc{cfg.max_coarse}.npz")
+                # structured path: vertex-chain checkpoint (hybrid only —
+                # the structured fem-amg setup has no payload format)
+                if cfg.inner == "amg":
+                    chain_cache = os.path.join(
+                        cfg.checkpoint,
+                        f"chain_{cfg.mesh}_{'x'.join(map(str, cfg.shape))}"
+                        f"_e{cfg.epsilon}_mc{cfg.max_coarse}.npz")
             else:
                 # unstructured path: the ENTIRE host setup (graph,
                 # regions, node plans, face plans, slave constraints,
@@ -93,6 +95,11 @@ def _build_preconditioner(cfg: Config, dom, mesh_builder, fine_mesh=None):
                         f"_w{cfg.superdomain_overlap}"
                         f"_P{cfg.num_shards}_mc{cfg.max_coarse}"
                         f"_{cfg.ptype}")
+                if cfg.inner != "amg":
+                    # keep the fem-amg payload (fem hierarchy included)
+                    # in its own file: the hybrid cache has fem=None and
+                    # would force a full rebuild anyway
+                    tag += f"_{cfg.inner}"
                 chain_cache = os.path.join(cfg.checkpoint,
                                            f"usetup_{tag}.npz")
         return sub.composite_dd(
@@ -237,14 +244,11 @@ def run_simulation(cfg: Config, out=sys.stdout) -> dict:
     if cfg.refine_tolerance is not None and cfg.refine_mode == "host":
         # f64 side on the HOST (solvers/host_oracle.py): headline sizes
         # where f64 geometry does not fit in HBM next to the f32 solver
-        from ..solvers.host_oracle import HostOperator, host_refine_solve
-        if cfg.num_shards != 1:
-            raise ValueError("refine_mode='host' supports single-shard "
-                             "runs only (global element ordering)")
+        from ..solvers.host_oracle import (HostOperator, host_refine_solve,
+                                           owned_to_global)
         with timer("solve.refine"):
             host = HostOperator(fine_mesh)
-            u_star64 = np.asarray(u_star_host,
-                                  dtype=np.float64).reshape(-1)
+            u_star64 = owned_to_global(dom, u_star_host)
             f64h = host.apply(u_star64)
             rr = host_refine_solve(
                 host, dom, solve, f64h, tolerance=cfg.refine_tolerance,

@@ -107,11 +107,22 @@ def phase_report(dom, mesh_builder, cfg=None, iterations: int = 10,
         "total per iteration": t_full / it,
     }
 
-    # device-measured region chains (per application of each region)
-    ct = {k: _chain_time(dom, pre_full, k, f, iters=chain_iters)
-          for k in ("nrm", "op", "dssum", "cnrm", "comp_op", "comp_dssum",
-                    "inner_precond", "tree_cascade", "tree_rhs",
-                    "inner_smooth", "inner_transfer", "inner_coarse")}
+    # device-measured region chains (per application of each region);
+    # optional kinds (assemble half, tree sub-legs) depend on which
+    # composite path is active — probe the preconditioner's parts
+    kinds = ["nrm", "op", "dssum", "cnrm", "comp_op", "comp_dssum",
+             "inner_precond", "tree_cascade", "tree_rhs",
+             "inner_smooth", "inner_transfer", "inner_coarse",
+             # structured exposes tree_rings/tree_coarse; unstructured
+             # exposes tree_levels; comp_assemble needs the face-block
+             # (or structured) dssum path
+             "comp_assemble", "tree_rings", "tree_coarse", "tree_levels"]
+    ct = {}
+    for k in kinds:
+        try:
+            ct[k] = _chain_time(dom, pre_full, k, f, iters=chain_iters)
+        except (ValueError, KeyError):
+            ct[k] = None                 # kind not exposed by this path
     ki = cfg.inner_iterations
     regions = {
         # outer solve (domain.*, poisson.cpp:259-276). The 'op' chain is
@@ -144,6 +155,25 @@ def phase_report(dom, mesh_builder, cfg=None, iterations: int = 10,
         "subdomain.inner_products+vector_operations (1 dot + 1 scale)":
             ct["cnrm"],
     }
+    # ---- round-5 sub-kind splits (one row per reference region,
+    # poisson.cpp:259-358 one-for-one) ----
+    if ct["tree_rings"] is not None:      # structured composite
+        rings = ct["tree_rings"] - ct["tree_cascade"]
+        coarse = ct["tree_coarse"] - ct["tree_cascade"]
+        regions["subdomain.tree_exchange.rings (ppermute legs)"] = rings
+        regions["subdomain.tree_exchange.coarse (all_gather)"] = coarse
+        regions["subdomain.tree_exchange.superdomain (far restrict)"] = (
+            ct["tree_rhs"] - ct["tree_cascade"] - rings - coarse)
+    if ct["tree_levels"] is not None:     # unstructured composite
+        lev = ct["tree_levels"] - ct["tree_cascade"]
+        regions["subdomain.tree_exchange.levels (all_gather+takes)"] = lev
+        regions["subdomain.tree_exchange.superdomain (project P^T)"] = (
+            ct["tree_rhs"] - ct["tree_cascade"] - lev)
+    if ct["comp_assemble"] is not None:
+        asm = ct["comp_assemble"] - ct["cnrm"]
+        regions[f"subdomain.preconditioner.assemble (x{ki}, gather)"] = asm
+        regions[f"subdomain.preconditioner.unassemble (x{ki}, "
+                "scatter+stitch)"] = ct["comp_dssum"] - ct["cnrm"] - asm
     # a subtracted marginal below the timing noise floor reads negative;
     # report it as 0 (the region costs less than the measurement noise)
     regions = {k: max(v, 0.0) for k, v in regions.items()}

@@ -102,6 +102,8 @@ class Timer:
         Collective — every process must call it (the reference's report
         path is identically collective, poisson.cpp:304).
         """
+        import hashlib
+
         import numpy as np
         names = sorted(self._totals)
         vals = np.asarray([self._totals[n] for n in names])
@@ -109,11 +111,19 @@ class Timer:
             return names, vals[None]
         try:
             from jax.experimental import multihost_utils
+            # agree on the region-name SET first: a fixed-size hash
+            # allgather always matches in shape, so diverged sets are
+            # detected instead of misaligning columns (same count) or
+            # hanging in a ragged collective (different count)
+            h = hashlib.sha256("\x00".join(names).encode()).digest()[:8]
+            h = np.frombuffer(h, dtype=np.uint64)
+            allh = np.asarray(multihost_utils.process_allgather(h))
+            if not (allh == allh[0]).all():
+                return names, vals[None]
             allv = multihost_utils.process_allgather(vals)
             return names, np.asarray(allv)
         except Exception:                            # pragma: no cover
-            # mismatched region sets across processes (diverged code
-            # paths): fall back to this process's values, labeled local
+            # transport failure: fall back to this process's values
             return names, vals[None]
 
     def report(self, num_shards: int | None = None) -> str:
@@ -130,16 +140,22 @@ class Timer:
         by construction.
         """
         gathered = None
+        per_process = False
         if num_shards:
             names_g, mat = self.gather_process_totals()
             nproc = mat.shape[0]
             if num_shards % max(nproc, 1) == 0:
                 per = num_shards // nproc
                 # shard s belongs to process s // per (owned_shards map)
-                shard_vals = {
-                    n: mat[:, i].repeat(per)
-                    for i, n in enumerate(names_g)}
-                gathered = shard_vals
+                gathered = {n: mat[:, i].repeat(per)
+                            for i, n in enumerate(names_g)}
+            else:
+                # ragged ownership (shards don't divide evenly): the
+                # measured values are still real, only the shard
+                # expansion is ambiguous — print the per-PROCESS vector,
+                # labeled as such, rather than a fabricated shard vector
+                gathered = {n: mat[:, i] for i, n in enumerate(names_g)}
+                per_process = True
         lines = []
         for name in sorted(self._totals):
             depth = name.count(".")
@@ -153,8 +169,9 @@ class Timer:
                     import numpy as np
                     v = np.full(num_shards, t)
                 vec = " ".join(f"{x:.6f}" for x in v)
+                label = "per-process [" if per_process else "["
                 line += (f"\n{'  ' * depth}  mean: {v.mean():.6f}  "
-                         f"max: {v.max():.6f}  [ {vec} ]")
+                         f"max: {v.max():.6f}  {label} {vec} ]")
             lines.append(line)
         return "\n".join(lines)
 

@@ -697,7 +697,11 @@ class Domain:
         any extra part the preconditioner exposes (the inner='amg'
         composites add 'inner_smooth' / 'inner_transfer' /
         'inner_coarse' — the reference's V-cycle leg split,
-        poisson.cpp:277-293).
+        poisson.cpp:277-293; round 5 adds the tree-exchange sub-legs
+        'tree_rings'/'tree_coarse' (structured) and 'tree_levels'
+        (unstructured), and 'comp_assemble' — the gather half of the
+        composite dssum, for the assemble-vs-unassemble row split of
+        poisson.cpp:259-358).
         """
         builder = precond.build if precond is not None else None
         extra = precond.extra if precond is not None else None
@@ -728,7 +732,8 @@ class Domain:
                 raise ValueError(f"phase kind {kind!r} needs a composite "
                                  "preconditioner exposing .parts")
 
-            if kind in ("tree_cascade", "tree_rhs"):
+            if kind in ("tree_cascade", "tree_rhs", "tree_rings",
+                        "tree_coarse", "tree_levels"):
                 part = parts[kind]
 
                 def body(i, carry):

@@ -26,7 +26,44 @@ import numpy as np
 
 from ..utils.gll import diff_matrix
 
-__all__ = ["HostOperator", "host_refine_solve", "HostRefinedResult"]
+__all__ = ["HostOperator", "host_refine_solve", "HostRefinedResult",
+           "owned_to_global", "global_to_owned"]
+
+
+def owned_to_global(dom, vals: np.ndarray) -> np.ndarray:
+    """Owned-shard padded host layout (num_owned, elems_per_shard*npe) ->
+    GLOBAL element-ordered flat field (num_total_elements*npe,).
+
+    Pad-element slots are dropped via the partition's per-shard element
+    offsets. In multi-process runs ownership is disjoint, so a sum over
+    the process-allgathered local scatters reconstructs the full field on
+    every process (the reference's refinement criterion is evaluated on
+    the global field, domain.tpp:683-692)."""
+    st = dom.sharded
+    npe = st.num_points_per_elem
+    vals = np.asarray(vals, dtype=np.float64).reshape(dom.num_owned, -1)
+    g = np.zeros(st.num_total_elements * npe)
+    for k, p in enumerate(st.owned or range(st.num_shards)):
+        lo, hi = st.elem_offsets[p], st.elem_offsets[p + 1]
+        g[lo * npe:hi * npe] = vals[k, :(hi - lo) * npe]
+    if dom.multiprocess:
+        from jax.experimental import multihost_utils
+        g = np.asarray(multihost_utils.process_allgather(g)).sum(axis=0)
+    return g
+
+
+def global_to_owned(dom, vals: np.ndarray) -> np.ndarray:
+    """GLOBAL element-ordered flat field -> owned-shard padded host
+    layout consumable by Domain.to_device_field (pad slots zero)."""
+    st = dom.sharded
+    npe = st.num_points_per_elem
+    vals = np.asarray(vals).reshape(-1)
+    out = np.zeros((dom.num_owned, st.elems_per_shard * npe),
+                   dtype=vals.dtype)
+    for k, p in enumerate(st.owned or range(st.num_shards)):
+        lo, hi = st.elem_offsets[p], st.elem_offsets[p + 1]
+        out[k, :(hi - lo) * npe] = vals[lo * npe:hi * npe]
+    return out
 
 
 class HostOperator:
@@ -152,11 +189,11 @@ def host_refine_solve(host_op: HostOperator, dom32, solve32, f64,
             return HostRefinedResult(u=u, rel_residual=rel, cycles=cycle,
                                      inner_iterations=inner_total,
                                      history=history, converged=True)
-        rd = dom32.to_device_field(
-            r.astype(np.float32).reshape(dom32.num_owned, -1))
+        rd = dom32.to_device_field(global_to_owned(
+            dom32, r.astype(np.float32)))
         res = solve32(rd)
         inner_total += int(res.iterations)
-        corr = dom32.from_device_field(res.u).astype(np.float64).reshape(-1)
+        corr = owned_to_global(dom32, dom32.from_device_field(res.u))
         try:
             res.u.delete()
         except Exception:

@@ -738,14 +738,12 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
             J = Jx[(oc, of)]
             return interp.lattice_tensor_apply(plane_c, J, dim - 1)
 
-        def comp_dssum(parts, apply_mask=True):
-            if G == 1 and apply_mask and gs._use_pallas_face_sum(parts[0]):
-                # single group (P=1: the composite is the whole domain,
-                # adjacency mask = 0 so stages 1/3 are inert): fuse the
-                # final mask multiply into the one-pass face-sum kernel
-                from ..ops.pallas_kernels import lattice_face_sum_3d
-                return [lattice_face_sum_3d(parts[0], groups[0].order + 1,
-                                            mask=groups_x[0]["mask"])]
+        def comp_assemble(parts):
+            """Stages 1+2 of comp_dssum — the GATHER half (the
+            reference's assemble region, Qt accumulation): collapse fine
+            interface faces onto coarse planes, then conforming per-group
+            assembly. Exposed separately so the phase taxonomy can report
+            assemble vs unassemble rows (poisson.cpp:259-358)."""
             # 1. collapse fine interface faces onto coarse planes (adjoint
             #    of the hanging-node constraints, subdomain.tpp:1496-1582)
             contrib_lo = [None] * G   # addition to group g's top plane
@@ -781,6 +779,17 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
                 if contrib_lo[gi] is not None:
                     U = add_top(gi, U, contrib_lo[gi])
                 summed.append(gs.lattice_face_sum(U, groups[gi].order + 1))
+            return summed
+
+        def comp_dssum(parts, apply_mask=True):
+            if G == 1 and apply_mask and gs._use_pallas_face_sum(parts[0]):
+                # single group (P=1: the composite is the whole domain,
+                # adjacency mask = 0 so stages 1/3 are inert): fuse the
+                # final mask multiply into the one-pass face-sum kernel
+                from ..ops.pallas_kernels import lattice_face_sum_3d
+                return [lattice_face_sum_3d(parts[0], groups[0].order + 1,
+                                            mask=groups_x[0]["mask"])]
+            summed = comp_assemble(parts)
 
             # 3. distribute assembled owner planes back to the other side
             final = list(summed)
@@ -830,17 +839,11 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
                     r_lvl[-1], Jl.T, dim))
             return r_lvl
 
-        def tree_rhs(r):
-            r_lvl = tree_cascade(r)
-
-            parts = [r_lvl[0]]  # group 0: own slab at order N
-            if G == 1:
-                return parts
-
+        def _rings_above(r_lvl):
             # rings above: cyclic ppermute from the shard above
             nsh = jax.lax.axis_size(ax) if ax is not None else 1
-            down = [( (i + 1) % nsh, i) for i in range(nsh)]
-            up = [(i, (i + 1) % nsh) for i in range(nsh)]
+            down = [((i + 1) % nsh, i) for i in range(nsh)]
+            parts = []
             for l in range(L):
                 n_l = n_per_lvl[l]
                 block = jax.lax.dynamic_slice_in_dim(
@@ -848,12 +851,33 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
                 if ax is not None and nsh > 1:
                     block = jax.lax.ppermute(block, ax, down)
                 parts.append(block)
+            return parts
 
+        def _rings_below(r_lvl):
+            # rings below: level L-1 ... 0, from the shard below (the
+            # sender slices its own slab, so ragged partitions use the
+            # sender's real layer count)
+            nsh = jax.lax.axis_size(ax) if ax is not None else 1
+            up = [(i, (i + 1) % nsh) for i in range(nsh)]
+            parts = []
+            for l in range(L - 1, -1, -1):
+                n_l = n_per_lvl[l]
+                s_send = rg["s"] if rg is not None else S
+                block = jax.lax.dynamic_slice_in_dim(
+                    r_lvl[l], (s_send - (l + 1) * V) * n_l, V * n_l, axis=0)
+                if ax is not None and nsh > 1:
+                    block = jax.lax.ppermute(block, ax, up)
+                parts.append(block)
+            return parts
+
+        def _far_parts(r_lvl):
             # far field: all_gather the coarsest level, roll to my cyclic
             # frame, slice each far group's positions (the reference's
             # Allgatherv, subdomain.tpp:4620-4621); z-coarsened groups are
             # restricted onto their merged layers (superdomain
             # compression, S10)
+            nsh = jax.lax.axis_size(ax) if ax is not None else 1
+            parts = []
             if far_idxs:
                 n_c = n_per_lvl[-1]
                 if ax is not None and nsh > 1:
@@ -888,25 +912,42 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
                         if far_g.zcoarse > 1:
                             far = interp.axis_contract(Rzfar_x, far, 0)
                         parts.append(far)
-
-            # rings below: level L-1 ... 0, from the shard below (the
-            # sender slices its own slab, so ragged partitions use the
-            # sender's real layer count)
-            for l in range(L - 1, -1, -1):
-                n_l = n_per_lvl[l]
-                s_send = rg["s"] if rg is not None else S
-                block = jax.lax.dynamic_slice_in_dim(
-                    r_lvl[l], (s_send - (l + 1) * V) * n_l, V * n_l, axis=0)
-                if ax is not None and nsh > 1:
-                    block = jax.lax.ppermute(block, ax, up)
-                parts.append(block)
-
             return parts
+
+        def tree_rhs(r):
+            r_lvl = tree_cascade(r)
+            parts = [r_lvl[0]]  # group 0: own slab at order N
+            if G == 1:
+                return parts
+            parts.extend(_rings_above(r_lvl))
+            parts.extend(_far_parts(r_lvl))
+            parts.extend(_rings_below(r_lvl))
+            return parts
+
+        # phase-taxonomy sub-kinds (poisson.cpp:322-358 schema): the
+        # tree exchange split into its ring-ppermute and
+        # coarse-all_gather(+superdomain-restrict) legs, each chained on
+        # top of the shared restriction cascade so the marginal vs
+        # tree_cascade is the leg's own cost
+        def tree_rings(r):
+            r_lvl = tree_cascade(r)
+            if G == 1:
+                return [r_lvl[0]]
+            return ([r_lvl[0]] + _rings_above(r_lvl)
+                    + _rings_below(r_lvl))
+
+        def tree_coarse(r):
+            r_lvl = tree_cascade(r)
+            if G == 1:
+                return [r_lvl[0]]
+            return [r_lvl[0]] + _far_parts(r_lvl)
 
         return {"split": split, "join": join,
                 "comp_operator": comp_operator, "comp_dssum": comp_dssum,
+                "comp_assemble": comp_assemble,
                 "comp_dot": comp_dot, "tree_rhs": tree_rhs,
                 "tree_cascade": tree_cascade,
+                "tree_rings": tree_rings, "tree_coarse": tree_coarse,
                 "groups_x": groups_x}
 
     def comp_inv_diag_of(ops_c):
@@ -1095,8 +1136,13 @@ def composite_dd(domain, mesh_builder, poly_reduction: int,
             "tree_rhs": lambda r: tree_rhs(r.astype(dtype)),
             "tree_cascade":
                 lambda r: ops_c["tree_cascade"](r.astype(dtype)),
+            "tree_rings":
+                lambda r: ops_c["tree_rings"](r.astype(dtype)),
+            "tree_coarse":
+                lambda r: ops_c["tree_coarse"](r.astype(dtype)),
             "comp_operator": comp_operator,
             "comp_dssum": lambda x: comp_dssum(x, apply_mask=True),
+            "comp_assemble": ops_c["comp_assemble"],
             "inner_precond": inner_precond,
             **vcycle_parts,
         }

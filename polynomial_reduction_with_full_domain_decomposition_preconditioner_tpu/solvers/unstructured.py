@@ -901,6 +901,26 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
                 outs.append(w_sup * sup_x["mask"] if apply_mask else w_sup)
             return outs
 
+        def comp_assemble(parts):
+            """The GATHER half of comp_dssum_fb — per-class exact
+            face/edge/rest assembly sums (the reference's assemble
+            region; Qt accumulation) without the constraint write-back
+            or mask. Exposed for the phase taxonomy's assemble vs
+            unassemble rows (poisson.cpp:259-358)."""
+            from ..ops import face_dssum as fd
+            ys = []
+            for c in range(C):
+                cx = cls_x[c]
+                if cls_shapes[c][0] == 0:
+                    ys.append(parts[c])
+                    continue
+                ys.append(fd.face_assemble(
+                    parts[c], cx["fbp"], fb_meta["n"][c],
+                    fb_meta["NR"][c], num_edge_groups=fb_meta["NG"][c]))
+            if sup_x is not None:
+                ys.append(parts[C])
+            return ys
+
         def comp_dot(a, b):
             return krylov.tree_dot(a, b)
 
@@ -913,22 +933,31 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
                 r_lvl.append(interp.restrict(r_lvl[-1], Jl, dim))
             return r_lvl
 
-        def tree_rhs(r):
-            r_lvl = tree_cascade(r)
-            parts = []
-            gathered_last = None
+        def tree_rhs(r, with_sup=True):
+            # comm/compute overlap (round 5): each level's all_gather is
+            # issued BEFORE the next level's restriction contraction —
+            # the gather has no consumer until the takes below, so XLA's
+            # async collectives fly it behind the remaining cascade
+            # compute (the reference's gslib tree exchange + coarse
+            # Allgatherv are blocking, subdomain.tpp:4613-4631)
+            blocks = []
+            cur = r.reshape(E_pad, -1)
             for c in range(C):
-                block = r_lvl[c]
                 if ax is not None and jax.lax.axis_size(ax) > 1:
                     # one all_gather per level; rings/far are then static
-                    # per-shard takes (replaces the reference's gslib tree
-                    # exchange + coarse Allgatherv, subdomain.tpp:4613-4631)
-                    block = jax.lax.all_gather(block, ax, axis=0, tiled=True)
-                if c == C - 1:
-                    gathered_last = block
-                sel = block[cls_x[c]["src"]]
+                    # per-shard takes
+                    blocks.append(jax.lax.all_gather(cur, ax, axis=0,
+                                                     tiled=True))
+                else:
+                    blocks.append(cur)
+                if c < C - 1:
+                    cur = interp.restrict(cur, Jlvl_x[c], dim)
+            gathered_last = blocks[C - 1]
+            parts = []
+            for c in range(C):
+                sel = blocks[c][cls_x[c]["src"]]
                 parts.append(sel * cls_x[c]["valid"][:, None])
-            if sup_x is not None:
+            if sup_x is not None and with_sup:
                 # superdomain RHS: vertex-assemble the far elements'
                 # restricted residual, project with P^T (the reference's
                 # Pt.multiply, subdomain.tpp:4635-4645)
@@ -939,8 +968,14 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
             return parts
 
         return {"comp_operator": comp_operator,
-                "comp_dssum": comp_dssum, "comp_dot": comp_dot,
+                "comp_dssum": comp_dssum,
+                "comp_assemble": (comp_assemble if use_fb else None),
+                "comp_dot": comp_dot,
                 "tree_rhs": tree_rhs, "tree_cascade": tree_cascade,
+                # phase sub-kind: level gathers + takes WITHOUT the
+                # superdomain projection (tree_rhs − tree_levels = the
+                # superdomain-project leg of the tree exchange)
+                "tree_levels": lambda r: tree_rhs(r, with_sup=False),
                 "cls_x": cls_x, "sup_x": sup_x}
 
     def comp_inv_diag_of(ops_c):
@@ -1111,11 +1146,15 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
             "tree_rhs": lambda r: tree_rhs(r.astype(dtype)),
             "tree_cascade":
                 lambda r: ops_c["tree_cascade"](r.astype(dtype)),
+            "tree_levels":
+                lambda r: ops_c["tree_levels"](r.astype(dtype)),
             "comp_operator": comp_operator,
             "comp_dssum": lambda x: comp_dssum(x, apply_mask=True),
             "inner_precond": inner_precond,
             **vcycle_parts,
         }
+        if ops_c["comp_assemble"] is not None:
+            precond.parts["comp_assemble"] = ops_c["comp_assemble"]
         return precond
 
     if inner == "amg" and payload is not None \

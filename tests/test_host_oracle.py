@@ -74,6 +74,51 @@ def test_driver_host_refine_mode():
     assert rec["refined_max_error"] < 1e-6
 
 
+def test_host_refinement_multi_shard_p8():
+    """SPMD host refinement: a P=8 virtual-mesh run certifies the 1e-7
+    double criterion end-to-end (round-5: the num_shards==1 guard is
+    gone — global<->owned layout maps route the f64 residual through
+    the sharded f32 solver)."""
+    from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.solvers.host_oracle import (
+        global_to_owned, owned_to_global)
+    shape, N = (8, 8), 4
+    mesh = mg.kershaw_mesh(shape, N, epsilon=0.3)
+    sd = partition_mesh(mesh, 8)
+    dmesh = jax.make_mesh((8,), ("shard",))
+    dom32 = Domain(sd, dtype=jnp.float32, device_mesh=dmesh)
+    host = HostOperator(mesh)
+
+    # layout round-trip: global -> owned -> global is the identity
+    rng = np.random.default_rng(0)
+    g = rng.random(mesh.num_points)
+    assert np.allclose(owned_to_global(dom32, global_to_owned(dom32, g)), g)
+
+    u_star = owned_to_global(
+        dom32, dom32.from_device_field(dom32.initial_function(4, seed=0)))
+    f64 = host.apply(u_star)
+    solve32 = dom32.solver(method="fgmres", max_iterations=300)
+    res = host_refine_solve(host, dom32, solve32, f64, tolerance=1e-7)
+    assert res.converged, res.history
+    assert res.rel_residual < 1e-7
+    # the criterion is the f64 residual (domain.hpp:118); pointwise error
+    # carries the epsilon=0.3 warp's conditioning on top of it
+    err = np.abs(res.u - u_star).max()
+    assert err <= 1e-5 * np.abs(u_star).max(), err
+
+
+def test_driver_host_refine_mode_p8():
+    from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.runtime.config import Config
+    from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.runtime.driver import run_simulation
+    import io
+    cfg = Config(mesh="kershaw", shape=(4, 4, 16), poly_degree=3,
+                 poly_reduction=2, max_iterations=120, num_shards=8,
+                 refine_tolerance=1e-7, refine_mode="host")
+    rec = run_simulation(cfg, out=io.StringIO())
+    assert rec["converged"]
+    assert rec["refined_converged"]
+    assert rec["refined_rel_residual"] < 1e-7
+
+
 def test_host_refinement_matches_device_refinement_3d():
     shape, N, r = (4, 4, 4), 3, 2
     mk = partial(mg.kershaw_mesh, shape, epsilon=0.3)

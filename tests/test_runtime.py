@@ -244,7 +244,10 @@ def test_phase_chain_spmd():
                                         epsilon=0.3),
                            poly_reduction=1, inner="amg", fine_mesh=mesh)
     f = dom.manufacture_rhs(dom.initial_function(4, seed=0))
-    for kind in ("op", "tree_rhs", "comp_op", "inner_precond"):
+    for kind in ("op", "tree_rhs", "comp_op", "inner_precond",
+                 # round-5 sub-kinds: ring/coarse tree legs + the
+                 # assemble (gather) half of the composite dssum
+                 "tree_rings", "tree_coarse", "comp_assemble"):
         v = float(dom.phase_chain(pre, kind, 3)(f))
         assert np.isfinite(v), kind
 
@@ -327,3 +330,22 @@ def test_composite_region_field_dump(tmp_path):
     z = np.load(path)
     assert "group0_values" in z and "group0_coords" in z
     assert z["group0_values"].shape + (3,) == z["group0_coords"].shape
+
+
+def test_composite_region_field_dump_spmd(tmp_path):
+    # round 5: SPMD runs dump one npz PER SHARD (_s{p} suffix), the
+    # per-rank Silo analog of subdomain.tpp:4649-4791
+    from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.runtime.config import Config
+    from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.runtime.driver import run_simulation
+    import io as _io
+    path = str(tmp_path / "comp.npz")
+    cfg = Config(mesh="kershaw", shape=(4, 4, 8), poly_degree=3,
+                 poly_reduction=2, max_iterations=60, num_shards=2,
+                 output_composite=path)
+    rec = run_simulation(cfg, out=_io.StringIO())
+    assert rec["converged"]
+    for p in range(2):
+        z = np.load(str(tmp_path / f"comp_s{p}.npz"))
+        assert "group0_values" in z and "group0_coords" in z
+        assert (z["group0_values"].shape + (3,)
+                == z["group0_coords"].shape)
