@@ -453,11 +453,12 @@ def build_composite_hierarchy(groups, mesh_by_order, plane_shape, m_last: int,
         real = blk_of[gi][blk_of[gi] >= 0]
         if real.size == 0:
             # a group made entirely of pad slots (extreme ragged shard):
-            # every lattice node maps to the zero row — plane_sz is
-            # irrelevant, any block's in-plane shape works
-            plane_sz = 1
+            # every lattice node maps to the zero row below, so the
+            # in-plane shape can come from any block
+            shp = grid_shapes[0]
         else:
-            plane_sz = int(np.prod(grid_shapes[int(real[0])][1:]))
+            shp = grid_shapes[int(real[0])]
+        plane_sz = int(np.prod(shp[1:]))
         if dim == 3:
             gy = maps[1][:, None]
             gx = maps[2][None, :]

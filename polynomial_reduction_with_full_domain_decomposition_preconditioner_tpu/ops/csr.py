@@ -138,16 +138,31 @@ from dataclasses import field
 @dataclass
 class BsrMatrix:
     """Block-sparse-row matrix with dense (B, B) blocks on device.
-    Shape metadata is static (pytree-transparent)."""
-    vals: jax.Array       # (nb, B, B); stacked: (P, nb, B, B)
+    Shape metadata is static (pytree-transparent).
+
+    Two value layouts (TPU tiling pads the LAST TWO dims to (8|16, 128)):
+
+    - ``"row"``: vals (nb, B, B) — natural for the batched-matvec
+      einsum, but the minor dim B pads to 128: a 16x physical blowup at
+      B=8 (observed: 2.46 GB of PB_146 fem values would occupy 39 GB).
+      Fine for small/medium nb.
+    - ``"tr"``: vals (B, B, nb) — the minor dim is nb (≈ zero pad;
+      second-minor B pads to the 8/16 sublane tile only), so multi-
+      million-block fem trees store at ~1-2x their logical size. The
+      SpMV runs a chunked gather+contract+segment-sum over nb.
+    """
+    vals: jax.Array       # row: (nb, B, B); tr: (B, B, nb); +P leading
     bcols: jax.Array      # (nb,) int32 block-column ids
     brows: jax.Array      # (nb,) int32 block-row ids, sorted ascending
     n_rows: int = field(metadata=dict(static=True), default=0)
     n_cols: int = field(metadata=dict(static=True), default=0)
+    layout: str = field(metadata=dict(static=True), default="row")
 
     @property
     def block(self) -> int:
-        return self.vals.shape[-1]
+        # works for both bare and (P,)-stacked values
+        return self.vals.shape[-3] if self.layout == "tr" \
+            else self.vals.shape[-1]
 
 
 def _bsr_arrays(m: sp.csr_matrix, block: int, dtype):
@@ -164,17 +179,32 @@ def _bsr_arrays(m: sp.csr_matrix, block: int, dtype):
             mb.indices.astype(np.int32), brows)
 
 
+# switch to the transposed layout when the row layout's tiling pad would
+# dominate HBM: nb*B*B logical elements beyond this use (B, B, nb)
+_TR_THRESHOLD = 1 << 26
+
+
+def _pick_layout(layout, nb, block):
+    if layout != "auto":
+        return layout
+    return "tr" if nb * block * block > _TR_THRESHOLD else "row"
+
+
 def bsr_from_csr(m: sp.csr_matrix, block: int = 16,
-                 dtype=np.float32) -> BsrMatrix:
+                 dtype=np.float32, layout: str = "auto") -> BsrMatrix:
     """CSR -> device BSR, padding the shape up to a block multiple."""
     vals, bcols, brows = _bsr_arrays(m, block, dtype)
+    layout = _pick_layout(layout, vals.shape[0], block)
+    if layout == "tr":
+        vals = np.ascontiguousarray(vals.transpose(1, 2, 0))
     return BsrMatrix(vals=jnp.asarray(vals), bcols=jnp.asarray(bcols),
                      brows=jnp.asarray(brows),
-                     n_rows=m.shape[0], n_cols=m.shape[1])
+                     n_rows=m.shape[0], n_cols=m.shape[1], layout=layout)
 
 
 def bsr_stack(mats: list[sp.csr_matrix], block: int = 16,
-              dtype=np.float32, select=None) -> BsrMatrix:
+              dtype=np.float32, select=None,
+              layout: str = "auto") -> BsrMatrix:
     """Stack same-shape per-shard CSRs into one BSR with a leading shard
     axis (block patterns padded to the max count; pad blocks are zeros on
     the last block row, keeping brows sorted).
@@ -207,9 +237,12 @@ def bsr_stack(mats: list[sp.csr_matrix], block: int = 16,
         vals[k, :kk] = v
         bcols[k, :kk] = c
         brows[k, :kk] = r
+    layout = _pick_layout(layout, nb, block)
+    if layout == "tr":
+        vals = np.ascontiguousarray(vals.transpose(0, 2, 3, 1))
     return BsrMatrix(vals=jnp.asarray(vals), bcols=jnp.asarray(bcols),
                      brows=jnp.asarray(brows),
-                     n_rows=n_rows, n_cols=n_cols)
+                     n_rows=n_rows, n_cols=n_cols, layout=layout)
 
 
 def bsr_spmv(mat: BsrMatrix, x):
@@ -222,6 +255,23 @@ def bsr_spmv(mat: BsrMatrix, x):
     if pad:
         x = jnp.concatenate([x, jnp.zeros((pad,), x.dtype)])
     xb = x.reshape(ncb, B)
+    if mat.layout == "tr":
+        # chunked over blocks: the (chunk, B) gather/product temporaries
+        # are the only 128-padded buffers, bounded to ~0.5 GB each; the
+        # big values array stays in its compact (B, B, nb) form
+        nb = mat.vals.shape[-1]
+        CH = 1 << 21
+        y = jnp.zeros((nrb, B), x.dtype)
+        for c0 in range(0, nb, CH):
+            c1 = min(c0 + CH, nb)
+            V = jax.lax.slice_in_dim(mat.vals, c0, c1, axis=2)
+            xg = xb[jax.lax.slice_in_dim(mat.bcols, c0, c1, axis=0)]
+            prod = jnp.einsum("ijk,kj->ki", V, xg,
+                              precision=jax.lax.Precision.HIGHEST)
+            y = y + jax.ops.segment_sum(
+                prod, jax.lax.slice_in_dim(mat.brows, c0, c1, axis=0),
+                num_segments=nrb, indices_are_sorted=True)
+        return y.reshape(-1)[:mat.n_rows]
     prod = jnp.einsum("kij,kj->ki", mat.vals, xb[mat.bcols],
                       precision=jax.lax.Precision.HIGHEST)
     y = jax.ops.segment_sum(prod, mat.brows, num_segments=nrb,

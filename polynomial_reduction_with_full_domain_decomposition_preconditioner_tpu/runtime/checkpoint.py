@@ -143,7 +143,8 @@ def _enc(obj, arrays: dict, pfx: str):
         arrays[pfx + ".bcols"] = _np.asarray(obj.bcols)
         arrays[pfx + ".brows"] = _np.asarray(obj.brows)
         return {"t": "bsr", "k": pfx,
-                "n_rows": obj.n_rows, "n_cols": obj.n_cols}
+                "n_rows": obj.n_rows, "n_cols": obj.n_cols,
+                "layout": obj.layout}
     if isinstance(obj, dict):
         return {"t": "dict",
                 "items": [[k, _enc(v, arrays, f"{pfx}.{k}")]
@@ -168,7 +169,8 @@ def _dec(node, z):
         return BsrMatrix(vals=z[node["k"] + ".vals"],
                          bcols=z[node["k"] + ".bcols"],
                          brows=z[node["k"] + ".brows"],
-                         n_rows=node["n_rows"], n_cols=node["n_cols"])
+                         n_rows=node["n_rows"], n_cols=node["n_cols"],
+                         layout=node.get("layout", "row"))
     if t == "dict":
         return {k: _dec(v, z) for k, v in node["items"]}
     if t == "list":

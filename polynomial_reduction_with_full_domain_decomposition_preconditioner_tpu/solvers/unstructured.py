@@ -611,7 +611,8 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
         return BsrMatrix(vals=sh(np.asarray(b.vals)),
                          bcols=sh(np.asarray(b.bcols)),
                          brows=sh(np.asarray(b.brows)),
-                         n_rows=b.n_rows, n_cols=b.n_cols)
+                         n_rows=b.n_rows, n_cols=b.n_cols,
+                         layout=b.layout)
 
     def _cls_device(cl):
         out = {

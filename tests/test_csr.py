@@ -69,3 +69,36 @@ def test_ell_spmv_range_and_weight():
     w = rng.standard_normal(40)
     yw = np.asarray(ell_spmv_weight(m, xj, jnp.asarray(w)))
     assert np.allclose(yw, w * want, atol=1e-12)
+
+
+def test_bsr_transposed_layout_matches_row_layout():
+    # round 5: the (B, B, nb) storage for multi-million-block fem trees
+    # (TPU tiling pads the row layout's minor B to 128 — 16x at B=8;
+    # PB_146's 2.46 GB of block-8 values would occupy 39 GB) must give
+    # the identical SpMV result through the chunked path
+    rng = np.random.default_rng(7)
+    n = 611
+    A = sp.random(n, n, density=0.02, random_state=3, format="csr")
+    A = A + sp.eye(n)
+    x = rng.standard_normal(n)
+    for block in (8, 16):
+        row = csr.bsr_from_csr(A.tocsr(), block=block, dtype=np.float64,
+                               layout="row")
+        tr = csr.bsr_from_csr(A.tocsr(), block=block, dtype=np.float64,
+                              layout="tr")
+        assert tr.layout == "tr" and tr.block == block
+        y_row = np.asarray(csr.bsr_spmv(row, jnp.asarray(x)))
+        y_tr = np.asarray(csr.bsr_spmv(tr, jnp.asarray(x)))
+        y_ref = A @ x
+        np.testing.assert_allclose(y_row, y_ref, rtol=1e-12)
+        np.testing.assert_allclose(y_tr, y_ref, rtol=1e-12)
+
+
+def test_bsr_auto_layout_threshold():
+    A = sp.eye(64, format="csr")
+    m = csr.bsr_from_csr(A, block=8, dtype=np.float32)
+    assert m.layout == "row"          # tiny: stays in the natural form
+    # bsr_stack honors an explicit layout and keeps it in the pytree
+    st = csr.bsr_stack([A, A], block=8, dtype=np.float32, layout="tr")
+    assert st.layout == "tr"
+    assert st.vals.shape == (2, 8, 8, st.bcols.shape[1])
