@@ -296,9 +296,9 @@ def run_simulation(cfg: Config, out=sys.stdout) -> dict:
         print(f"fields written to {cfg.output}", file=out)
 
     if cfg.output_composite:
-        if cfg.preconditioner != "composite" or cfg.num_shards != 1:
+        if cfg.preconditioner != "composite":
             raise ValueError("--output-composite needs the composite "
-                             "preconditioner on a single shard")
+                             "preconditioner")
         from ..io.fields import save_composite_fields
         save_composite_fields(cfg.output_composite, dom, pre,
                               mesh_builder, f)

@@ -91,7 +91,15 @@ def _zeros_like_tree(x):
 
 
 def _stack_rows(zero, m):
-    return _tmap(lambda zl: jnp.repeat(zl[None], m, axis=0), zero)
+    """Stacked basis with FLAT rows: (m, size) per leaf. Element-layout
+    composite fields have tiny minor dims ((E, n, n, n), n=8) that TPU
+    tiling pads to 128 — a 16x physical blowup on every stacked-basis
+    temp XLA materializes around the prefix-switch branches (observed:
+    an 819 MB temp for a 51 MB field at PB_146). 1-D rows tile clean;
+    rows reshape back to the field shape only at the precond/output
+    boundary (_reshape_like)."""
+    return _tmap(lambda zl: jnp.repeat(zl.reshape(-1)[None], m, axis=0),
+                 zero)
 
 
 def _row(V, j):
@@ -99,7 +107,15 @@ def _row(V, j):
 
 
 def _set_row(V, j, x):
-    return _tmap(lambda Vl, xl: Vl.at[j].set(xl), V, x)
+    return _tmap(lambda Vl, xl: Vl.at[j].set(xl.reshape(-1)), V, x)
+
+
+def _flat(x):
+    return _tmap(lambda xl: xl.reshape(-1), x)
+
+
+def _reshape_like(x, like):
+    return _tmap(lambda xl, ll: xl.reshape(ll.shape), x, like)
 
 
 def _contract_rows(h, V):
@@ -295,8 +311,9 @@ def fgmres(operator, precond, dssum_plain, dot, f, *,
         qq is the dssum'ed new vector; by mask/QQt symmetry this equals the
         reference's assembled_inner_product(q, V[i]) (domain.tpp:934-947).
         """
-        h = (_prefix_dot(dot, V, qq, j, m + 1) if grow
-             else dot(V, qq))  # stacked first arg: (m+1,)
+        qf = _flat(qq)     # flat rows: match the stacked-basis layout
+        h = (_prefix_dot(dot, V, qf, j, m + 1) if grow
+             else dot(V, qf))  # stacked first arg: (m+1,)
         iota = jnp.arange(m + 1)
         return jnp.where(iota <= j, h, 0.0).astype(dtype)
 
@@ -331,7 +348,7 @@ def fgmres(operator, precond, dssum_plain, dot, f, *,
 
             def step(args):
                 V, Z, H, gam, c, s, it, hist = args
-                z = precond(_row(V, j))
+                z = precond(_reshape_like(_row(V, j), f))
                 if z_dtype is not None:
                     # quantize BEFORE the operator: the stored basis and
                     # the Arnoldi relation stay exactly consistent
@@ -344,8 +361,9 @@ def fgmres(operator, precond, dssum_plain, dot, f, *,
                     q, qq = op_dssum(z)
                 Z_new = _set_row(Z, j, z if z_dtype is None else zq)
                 h = proj_dots(V, qq, j)
-                q = _sub(q, _prefix_contract(h, V, j, m + 1) if grow
-                         else _contract_rows(h, V))
+                q = _sub(q, _reshape_like(
+                    _prefix_contract(h, V, j, m + 1) if grow
+                    else _contract_rows(h, V), q))
                 # recompute the projected norm on the orthogonalized q
                 # (clamped: roundoff-negative once q hits machine zero).
                 # NOTE: the Gram-Schmidt identity |q'|^2 = |q|^2 - |h|^2
@@ -412,8 +430,9 @@ def fgmres(operator, precond, dssum_plain, dot, f, *,
             return jax.lax.cond(kk <= jlast, active_fn, lambda y: y, y)
 
         y = jax.lax.fori_loop(0, m, back, jnp.zeros((m,), dtype=dtype) + seed)
-        u = _add(u, _prefix_contract(y, Z, jlast, m) if grow
-                 else _contract_rows(y, Z))
+        u = _add(u, _reshape_like(
+            _prefix_contract(y, Z, jlast, m) if grow
+            else _contract_rows(y, Z), u))
 
         # 'jdone' covers tolerance/NaN/basis-full; only tolerance/NaN end
         # the outer loop (basis-full just restarts)
