@@ -1115,24 +1115,42 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
         def _solve_inner(r):
             # STYPE -> PTYPE cast at the tree boundary (subdomain.okl:268)
             f_comp = tree_rhs(r.astype(dtype))
+            # the inner Krylov state lives FLAT per class: element-layout
+            # leaves (E, n, n, n) with n=8 tile-pad their minor dim to
+            # 128 (16x) wherever XLA materializes them at while/switch
+            # boundaries (observed 819 MB temps for 51 MB fields at
+            # PB_146); 1-D leaves tile clean. The composite ops reshape
+            # at their own boundary, adjacent to the einsum producers/
+            # consumers where layout assignment is free.
+            shps = [p.shape for p in f_comp]
+
+            def wrap(fn, *fa, **fk):
+                def g(fl):
+                    shaped = [q.reshape(s) for q, s in zip(fl, shps)]
+                    return [o.reshape(-1) for o in fn(shaped, *fa, **fk)]
+                return g
+
+            op_f = wrap(comp_operator)
+            pre_f = wrap(inner_precond)
+            ds_f = wrap(comp_dssum, apply_mask=True)
+            f_flat = [p.reshape(-1) for p in f_comp]
             if inner_solver == "fcg":
                 # fixed-iteration inner FCG (subdomain.tpp:4161-4268)
                 res = krylov.fcg(
-                    comp_operator, inner_precond,
-                    lambda rr: comp_dssum(rr, apply_mask=True),
-                    comp_dot, comp_dot2, f_comp,
+                    op_f, pre_f, ds_f,
+                    comp_dot, comp_dot2, f_flat,
                     max_iterations=num_iterations,
                     tolerance=0.0)
             else:
                 res = krylov.fgmres(
-                    comp_operator, inner_precond,
-                    lambda rr: comp_dssum(rr, apply_mask=True),
-                    comp_dot, f_comp,
+                    op_f, pre_f, ds_f,
+                    comp_dot, f_flat,
                     max_iterations=num_iterations,
                     num_vectors=num_iterations,
                     tolerance=0.0)
             # own elements sit in class 0's leading E_pad slots
-            z = res.u[0][:E_pad].reshape(-1).astype(domain.dtype)
+            npe_c = int(np.prod(shps[0][1:]))
+            z = res.u[0][:E_pad * npe_c].astype(domain.dtype)
             return (dssum_f(z, apply_mask=True, apply_weight=True),
                     res.residual_history)
 
