@@ -99,14 +99,13 @@ def pack_hierarchies(hiers: list[HostHierarchy], dtype=jnp.float32,
 
 
 def _apply(A, x):
-    """Level-operator dispatch: BsrMatrix, EllMatrix, or any callable
-    x -> A x (the matrix-free SEM composite operator of the hybrid
-    V-cycle)."""
+    """Level-operator dispatch: BsrMatrix, CooMatrix, EllMatrix, or any
+    callable x -> A x (the matrix-free SEM composite operator of the
+    hybrid V-cycle)."""
     if callable(A):
         return A(x)
-    if isinstance(A, BsrMatrix):
-        return bsr_spmv(A, x)
-    return ell_spmv(A, x)
+    from ..ops.csr import sparse_spmv
+    return sparse_spmv(A, x)
 
 
 def cheby_smooth(A, invd, lmax, f, u, order: int):

@@ -24,7 +24,8 @@ import scipy.sparse as sp
 
 __all__ = ["assemble_csr", "EllMatrix", "ell_from_csr", "ell_spmv",
            "ell_spmv_range", "ell_spmv_weight", "BsrMatrix",
-           "bsr_from_csr", "bsr_stack", "bsr_spmv"]
+           "bsr_from_csr", "bsr_stack", "bsr_spmv", "CooMatrix",
+           "coo_from_csr", "coo_stack", "coo_spmv", "sparse_spmv"]
 
 
 def assemble_csr(rows, cols, vals, shape, drop_tol: float = 0.0):
@@ -243,6 +244,84 @@ def bsr_stack(mats: list[sp.csr_matrix], block: int = 16,
     return BsrMatrix(vals=jnp.asarray(vals), bcols=jnp.asarray(bcols),
                      brows=jnp.asarray(brows),
                      n_rows=n_rows, n_cols=n_cols, layout=layout)
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class CooMatrix:
+    """Row-sorted COO with a gather + sorted-segment-sum SpMV.
+
+    The right form for TRANSFER operators (lattice<->DOF selection Q/Qt,
+    AMG prolongation P / restriction R = P^T): their rows carry 1-10
+    scattered entries, so 8x8 BSR blocks fill at 2-6% and the padded
+    block values dominate HBM (measured at PB_146: Q 2.8 GB, P0/R0
+    3.9 GB each as BSR vs 0.1-0.6 GB here). All arrays are 1-D — TPU
+    tiling pads them negligibly. Pad entries carry row id n_rows and are
+    sliced off after the segment sum."""
+    vals: jax.Array       # (nnz,); stacked: (P, nnz)
+    cols: jax.Array       # (nnz,) int32
+    rows: jax.Array       # (nnz,) int32, sorted ascending
+    n_rows: int = field(metadata=dict(static=True), default=0)
+    n_cols: int = field(metadata=dict(static=True), default=0)
+
+
+def _coo_arrays(m: sp.csr_matrix, dtype):
+    mm = m.tocoo()
+    order = np.argsort(mm.row, kind="stable")
+    return (np.asarray(mm.data[order], dtype=dtype),
+            mm.col[order].astype(np.int32),
+            mm.row[order].astype(np.int32))
+
+
+def coo_from_csr(m: sp.csr_matrix, dtype=np.float32) -> CooMatrix:
+    vals, cols, rows = _coo_arrays(m, dtype)
+    return CooMatrix(vals=jnp.asarray(vals), cols=jnp.asarray(cols),
+                     rows=jnp.asarray(rows),
+                     n_rows=m.shape[0], n_cols=m.shape[1])
+
+
+def coo_stack(mats: list[sp.csr_matrix], dtype=np.float32,
+              select=None) -> CooMatrix:
+    """Stack same-shape per-shard CSRs with a leading shard axis (nnz
+    padded to the max count; pad entries land on dump row n_rows).
+    ``select``: shards to materialize (multi-host local-only setup) —
+    the pad count stays the max over ALL mats."""
+    n_rows, n_cols = mats[0].shape
+    sel = list(range(len(mats))) if select is None else list(select)
+    parts = {p: _coo_arrays(mats[p], dtype) for p in sel}
+    nnz = max(max((m.nnz for m in mats), default=0),
+              max((parts[p][0].shape[0] for p in sel), default=0))
+    P = len(sel)
+    vals = np.zeros((P, nnz), dtype=dtype)
+    cols = np.zeros((P, nnz), dtype=np.int32)
+    rows = np.full((P, nnz), n_rows, dtype=np.int32)
+    for k, p in enumerate(sel):
+        v, c, r = parts[p]
+        vals[k, :v.shape[0]] = v
+        cols[k, :v.shape[0]] = c
+        rows[k, :v.shape[0]] = r
+    return CooMatrix(vals=jnp.asarray(vals), cols=jnp.asarray(cols),
+                     rows=jnp.asarray(rows),
+                     n_rows=n_rows, n_cols=n_cols)
+
+
+def coo_spmv(mat: CooMatrix, x):
+    """y = A x: one flat gather + one sorted segment sum (pad entries
+    accumulate into the sliced-off dump row)."""
+    prod = mat.vals * x[jnp.clip(mat.cols, 0, mat.n_cols - 1)]
+    y = jax.ops.segment_sum(prod, mat.rows,
+                            num_segments=mat.n_rows + 1,
+                            indices_are_sorted=True)
+    return y[:mat.n_rows]
+
+
+def sparse_spmv(mat, x):
+    """Dispatch on the device sparse representation."""
+    if isinstance(mat, CooMatrix):
+        return coo_spmv(mat, x)
+    if isinstance(mat, EllMatrix):
+        return ell_spmv(mat, x)
+    return bsr_spmv(mat, x)
 
 
 def bsr_spmv(mat: BsrMatrix, x):

@@ -664,7 +664,9 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
     if inner == "fem-amg":
         # stacked device hierarchy (values for owned shards only; the
         # pad counts come from every shard's pattern — SPMD-consistent)
+        from ..ops.csr import CooMatrix
         from ..ops.csr import bsr_stack as _bstack
+        from ..ops.csr import coo_stack as _cstack
         owned_l = list(sd.owned) if sd.owned else list(range(Pn))
         nlev_f = len(fem_host[0]["chain"]["mats"])
         # block-8 packing for multi-million-row fem matrices: simplicial
@@ -676,6 +678,18 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
         def _stk(mats):
             return sh_bsr(_bstack(mats, block=_fb, dtype=dtype,
                                   select=owned_l))
+
+        def _stk_t(mats):
+            # TRANSFER operators (Q/Qt selection, P/R interpolation):
+            # 1-10 scattered entries per row fill 8x8 blocks at 2-6%, so
+            # the padded BSR values dominate HBM at pebble-bed sizes
+            # (Q 2.8 GB, P0/R0 3.9 GB each vs 0.1-0.6 GB as sorted COO);
+            # the gather+segment-sum apply stays oracle-fast
+            c = _cstack(mats, dtype=dtype, select=owned_l)
+            return CooMatrix(vals=sh(np.asarray(c.vals)),
+                             cols=sh(np.asarray(c.cols)),
+                             rows=sh(np.asarray(c.rows)),
+                             n_rows=c.n_rows, n_cols=c.n_cols)
 
         def _arr(xs, dt=dtype):
             return sh(np.stack([np.asarray(xs[p]) for p in owned_l]),
@@ -694,16 +708,16 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
             })
         extra["fem"] = {
             "levels": fem_levels,
-            "prolongs": [_stk([fh["chain"]["prolongs"][l]
-                               for fh in fem_host])
+            "prolongs": [_stk_t([fh["chain"]["prolongs"][l]
+                                 for fh in fem_host])
                          for l in range(nlev_f - 1)],
-            "restricts": [_stk([fh["chain"]["prolongs"][l].T.tocsr()
-                                for fh in fem_host])
+            "restricts": [_stk_t([fh["chain"]["prolongs"][l].T.tocsr()
+                                  for fh in fem_host])
                           for l in range(nlev_f - 1)],
             "coarse_inv": _arr([fh["chain"]["coarse_inv"]
                                 for fh in fem_host]),
-            "Q": _stk([fh["Q"] for fh in fem_host]),
-            "Qt": _stk([fh["Q"].T.tocsr() for fh in fem_host]),
+            "Q": _stk_t([fh["Q"] for fh in fem_host]),
+            "Qt": _stk_t([fh["Q"].T.tocsr() for fh in fem_host]),
             "dof_mask": _arr([fh["dof_mask"] for fh in fem_host]),
         }
 
@@ -1076,7 +1090,7 @@ def composite_dd_unstructured(domain, mesh_builder, poly_reduction: int,
             # unassembled composite residual to FEM DOFs (Q^T), V-cycle
             # on the aggregation hierarchy, scatter back (Q)
             from ..amg.vcycle import vcycle_apply
-            from ..ops.csr import bsr_spmv as _bspmv
+            from ..ops.csr import sparse_spmv as _bspmv
             fem_x = extra_x["fem"]
             fem_tree = {"levels": fem_x["levels"],
                         "prolongs": fem_x["prolongs"],

@@ -102,3 +102,26 @@ def test_bsr_auto_layout_threshold():
     st = csr.bsr_stack([A, A], block=8, dtype=np.float32, layout="tr")
     assert st.layout == "tr"
     assert st.vals.shape == (2, 8, 8, st.bcols.shape[1])
+
+
+def test_coo_spmv_matches_dense():
+    rng = np.random.default_rng(11)
+    A = sp.random(523, 377, density=0.015, random_state=5, format="csr")
+    x = rng.standard_normal(377)
+    m = csr.coo_from_csr(A, dtype=np.float64)
+    y = np.asarray(csr.coo_spmv(m, jnp.asarray(x)))
+    np.testing.assert_allclose(y, A @ x, rtol=1e-12)
+    # stacked with nnz padding: pad entries land on the dump row
+    B = sp.random(523, 377, density=0.03, random_state=6, format="csr")
+    st = csr.coo_stack([A, B], dtype=np.float64, select=[0, 1])
+    assert st.vals.shape[0] == 2 and st.vals.shape[1] == B.nnz
+    from polynomial_reduction_with_full_domain_decomposition_preconditioner_tpu.ops.csr import CooMatrix
+    for k, M in enumerate((A, B)):
+        mk = CooMatrix(vals=st.vals[k], cols=st.cols[k], rows=st.rows[k],
+                       n_rows=st.n_rows, n_cols=st.n_cols)
+        np.testing.assert_allclose(
+            np.asarray(csr.coo_spmv(mk, jnp.asarray(x))), M @ x,
+            rtol=1e-12)
+    # dispatcher
+    np.testing.assert_allclose(
+        np.asarray(csr.sparse_spmv(m, jnp.asarray(x))), A @ x, rtol=1e-12)
